@@ -1,0 +1,175 @@
+"""Benchmark evaluation harness — the reference test.py protocol, library-fied.
+
+Protocol parity (reference test.py:160-274):
+  1. optional input downscale by `iscale` (bilinear images / nearest gt,
+     gt divided by iscale),
+  2. mono inference at per-dataset DAv2 input sizes (reference test.py:192-195),
+  3. joint min-max normalization of the mono pair,
+  4. centered replicate pad to a multiple of 32,
+  5. stereo forward (iters=32, test_mode),
+  6. unpad, optional output rescale by `oscale` (nearest, values scaled),
+  7. numpy guided_metrics per sample, accumulated mean/std over --tries.
+
+Static-shape note: padded sizes are bucketed per dataset so XLA compiles a
+handful of shapes, not one per image.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stereoanywhere_tpu.eval.metrics import depth_metrics, guided_metrics
+from stereoanywhere_tpu.ops.geometry import joint_minmax_normalize
+
+# Per-dataset DAv2 input sizes (reference test.py:192-195)
+DAV2_SIZES: dict[str, tuple[int, int]] = {
+    "kitti2012": (1372, 518),
+    "kitti2015": (1372, 518),
+    "kitti_stereo": (1372, 518),
+    "middlebury": (1036, 1036),
+    "middlebury2021": (1036, 1036),
+    "eth3d": (518, 518),
+    "booster": (770, 1036),
+    "layeredflow": (518, 770),
+    "monotrap": (518, 518),
+    "sceneflow": (518, 518),
+}
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int = 32) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+    """Centered replicate pad (reference test.py:204-213).
+    Returns padded array and (top, bottom, left, right)."""
+    h, w = x.shape[1], x.shape[2]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    top, bottom = ph // 2, ph - ph // 2
+    left, right = pw // 2, pw - pw // 2
+    out = np.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="edge")
+    return out, (top, bottom, left, right)
+
+
+def unpad(x: np.ndarray, pads: tuple[int, int, int, int]) -> np.ndarray:
+    t, b, l, r = pads
+    h, w = x.shape[1], x.shape[2]
+    return x[:, t : h - b, l : w - r]
+
+
+def resize_np(x: np.ndarray, out_hw: tuple[int, int], nearest: bool = False) -> np.ndarray:
+    """Host-side resize via jax.image (avoids cv2 dependency)."""
+    method = "nearest" if nearest else "bilinear"
+    return np.asarray(
+        jax.image.resize(jnp.asarray(x), (x.shape[0], *out_hw, x.shape[-1]), method)
+    )
+
+
+@dataclass
+class EvalResult:
+    per_sample: list[dict] = field(default_factory=list)
+
+    def mean(self) -> dict[str, float]:
+        keys = [k for k in self.per_sample[0] if k != "errormap" and not k.startswith("_")]
+        out = {}
+        for k in keys:
+            vals = [s[k] for s in self.per_sample if np.isfinite(s.get(k, np.nan))]
+            out[k] = float(np.mean(vals)) if vals else float("nan")
+        return out
+
+    def to_csv(self, path: str, extra_cols: dict | None = None):
+        rows = self.mean()
+        rows.update(extra_cols or {})
+        exists = os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            wtr = csv.DictWriter(f, fieldnames=list(rows))
+            if not exists:
+                wtr.writeheader()
+            wtr.writerow(rows)
+
+
+class Evaluator:
+    """Runs the zero-shot benchmark protocol over a dataset iterable.
+
+    stereo_fn(im2, im3, mono2, mono3) -> (1,H,W,1) positive disparity
+        (a jitted closure over model variables, iters static)
+    mono_fn(images01 (2,H,W,3), dataset) -> (2,H,W,1) raw mono depth, or None
+        to use precomputed sample['im2_mono'].
+    """
+
+    def __init__(
+        self,
+        stereo_fn: Callable,
+        mono_fn: Callable | None = None,
+        dataset_name: str = "middlebury",
+        iscale: float = 1.0,
+        oscale: float = 1.0,
+    ):
+        self.stereo_fn = stereo_fn
+        self.mono_fn = mono_fn
+        self.dataset_name = dataset_name
+        self.iscale = iscale
+        self.oscale = oscale
+
+    def run_sample(self, sample: dict) -> dict:
+        im2 = sample["im2"][None]  # (1,H,W,3) in [0,1]
+        im3 = sample["im3"][None]
+        gt = sample["gt"][None]
+        valid = sample["validgt"][None]
+        maskocc = sample.get("maskocc")
+        if maskocc is not None:
+            maskocc = maskocc[None]
+
+        h0, w0 = im2.shape[1:3]
+        if self.iscale != 1.0:
+            hs, ws = int(h0 / self.iscale), int(w0 / self.iscale)
+            im2 = resize_np(im2, (hs, ws))
+            im3 = resize_np(im3, (hs, ws))
+
+        # mono branch
+        if self.mono_fn is not None:
+            mono = np.asarray(self.mono_fn(np.concatenate([im2, im3], 0), self.dataset_name))
+            mono2, mono3 = mono[:1], mono[1:]
+        else:
+            mono2 = resize_np(sample["im2_mono"][None], im2.shape[1:3])
+            mono3 = resize_np(sample["im3_mono"][None], im2.shape[1:3])
+        mono2, mono3 = joint_minmax_normalize([jnp.asarray(mono2), jnp.asarray(mono3)])
+        mono2, mono3 = np.asarray(mono2), np.asarray(mono3)
+
+        im2p, pads = pad_to_multiple(im2)
+        im3p, _ = pad_to_multiple(im3)
+        mono2p, _ = pad_to_multiple(mono2)
+        mono3p, _ = pad_to_multiple(mono3)
+
+        disp = np.asarray(self.stereo_fn(im2p, im3p, mono2p, mono3p))
+        disp = unpad(disp, pads)
+
+        if self.oscale != 1.0 or disp.shape[1:3] != (h0, w0):
+            # nearest + value rescale (reference test.py:229-240)
+            disp = resize_np(disp, (h0, w0), nearest=True) * (w0 / disp.shape[2])
+
+        m = guided_metrics(disp[0, ..., 0], gt[0, ..., 0], valid[0, ..., 0],
+                           maskocc[0, ..., 0] if maskocc is not None else None)
+        m.pop("errormap", None)
+
+        if "gt_depth" in sample:
+            # disp -> depth via fixed rig constants (reference test_monotrap.py:246-250)
+            from stereoanywhere_tpu.data.datasets import MonoTrapDataset
+
+            depth = MonoTrapDataset.BASELINE * MonoTrapDataset.FOCAL / np.maximum(disp[0, ..., 0], 1e-6)
+            dm = depth_metrics(depth, sample["gt_depth"][..., 0], sample["validgt_depth"][..., 0])
+            dm.pop("errormap", None)
+            m.update({f"depth/{k}": v for k, v in dm.items()})
+        return m
+
+    def run(self, dataset: Iterable, max_samples: int | None = None) -> EvalResult:
+        result = EvalResult()
+        for i, sample in enumerate(dataset):
+            if max_samples is not None and i >= max_samples:
+                break
+            result.per_sample.append(self.run_sample(sample))
+        return result

@@ -1,0 +1,188 @@
+"""DINOv2 vision transformer (the Depth-Anything-V2 backbone), Flax/NHWC.
+
+Reimplements the capabilities of reference models/depth_anything_v2/dinov2.py
+(DinoVisionTransformer, :44-336) TPU-first:
+
+- attention via `jax.nn.dot_product_attention` (XLA fuses to an MXU-friendly
+  kernel; replaces the reference's optional xformers memory_efficient_attention,
+  reference dinov2_layers/attention.py:65-82),
+- static-shape pos-embed bicubic interpolation traced per input size,
+- blocks iterated in Python (24 layers; XLA pipelines them) — the weights
+  differ per layer so scan-over-layers would need stacked params; the
+  converter keeps per-layer names instead.
+
+Shipped config (reference dinov2.py:405-422): patch 14, img_size 518,
+init_values=1.0 (LayerScale ON), no registers, interpolate_offset=0.1.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+VIT_CONFIGS = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
+}
+
+
+def _cubic_kernel(t: jax.Array, a: float = -0.75) -> jax.Array:
+    """Cubic convolution kernel (torch bicubic uses a=-0.75)."""
+    at = jnp.abs(t)
+    at2, at3 = at * at, at * at * at
+    w1 = (a + 2) * at3 - (a + 3) * at2 + 1
+    w2 = a * at3 - 5 * a * at2 + 8 * a * at - 4 * a
+    return jnp.where(at <= 1, w1, jnp.where(at < 2, w2, 0.0))
+
+
+def _bicubic_resize_axis(x: jax.Array, axis: int, out_size: int, scale: float) -> jax.Array:
+    """Bicubic resample along one axis with an EXPLICIT scale factor.
+
+    src = (dst + 0.5) / scale - 0.5 — torch `F.interpolate(scale_factor=...,
+    align_corners=False, recompute_scale_factor=False)` semantics, needed to
+    reproduce the DINOv2 pos-embed `interpolate_offset=0.1` quirk
+    (reference dinov2.py:194-205).  Border replicated (torch clamps taps).
+    """
+    in_size = x.shape[axis]
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = jnp.floor(src).astype(jnp.int32)
+    t = src - i0.astype(jnp.float32)
+
+    out = None
+    for k in range(-1, 3):
+        idx = jnp.clip(i0 + k, 0, in_size - 1)
+        wk = _cubic_kernel(t - k)
+        shape = [1] * x.ndim
+        shape[axis] = out_size
+        tap = jnp.take(x, idx, axis=axis) * wk.reshape(shape).astype(x.dtype)
+        out = tap if out is None else out + tap
+    return out
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, patch_h: int, patch_w: int, interpolate_offset: float = 0.1
+) -> jax.Array:
+    """(1, 1+N, D) -> (1, 1+patch_h*patch_w, D) with the reference's bicubic
+    scale-factor interpolation (reference dinov2.py:179-210)."""
+    n = pos_embed.shape[1] - 1
+    side = int(math.sqrt(n))
+    if patch_h * patch_w == n and patch_h == patch_w:
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    grid = pos_embed[:, 1:].reshape(1, side, side, -1).astype(jnp.float32)
+    sh = (patch_h + interpolate_offset) / side
+    sw = (patch_w + interpolate_offset) / side
+    grid = _bicubic_resize_axis(grid, 1, patch_h, sh)
+    grid = _bicubic_resize_axis(grid, 2, patch_w, sw)
+    grid = grid.reshape(1, patch_h * patch_w, -1).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pos, grid], axis=1)
+
+
+class Attention(nn.Module):
+    """Standard MHSA (reference dinov2_layers/attention.py)."""
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, t, d = x.shape
+        hd = d // self.num_heads
+        qkv = nn.Dense(3 * d, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(b, t, 3, self.num_heads, hd), 3, axis=2)
+        q, k, v = (y[:, :, 0] for y in (q, k, v))  # (B,T,H,hd)
+        o = jax.nn.dot_product_attention(q, k, v)
+        o = o.reshape(b, t, d)
+        return nn.Dense(d, name="proj")(o)
+
+
+class Mlp(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(d, name="fc2")(x)
+
+
+class LayerScale(nn.Module):
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+        return x * gamma
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with LayerScale (reference dinov2_layers/block.py)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + LayerScale(name="ls2")(Mlp(int(d * self.mlp_ratio), name="mlp")(h))
+        return x
+
+
+class DinoVisionTransformer(nn.Module):
+    """Returns intermediate layers for the DPT head.
+
+    Input NHWC (B,H,W,3), H,W multiples of 14.
+    """
+
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    patch_size: int = 14
+    pos_embed_size: int = 37  # 518/14
+    interpolate_offset: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, take_layers: Sequence[int]):
+        b, h, w, _ = x.shape
+        ph, pw = h // self.patch_size, w // self.patch_size
+
+        # patch embed: conv k=p s=p (reference dinov2_layers/patch_embed.py)
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            name="patch_embed_proj",
+        )(x)
+        x = x.reshape(b, ph * pw, self.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(1e-6), (1, 1, self.embed_dim)
+        )
+        n_pos = self.pos_embed_size ** 2 + 1
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, n_pos, self.embed_dim)
+        )
+
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        x = x + interpolate_pos_embed(pos_embed, ph, pw, self.interpolate_offset).astype(x.dtype)
+
+        final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        outputs = []
+        for i in range(self.depth):
+            x = Block(self.num_heads, name=f"blocks_{i}")(x)
+            if i in take_layers:
+                outputs.append(x)
+
+        # norm applied to every taken layer (reference dinov2.py:311-312)
+        outputs = [final_norm(o) for o in outputs]
+        # (patch tokens, cls token) pairs (reference dinov2.py:314-326)
+        return [(o[:, 1:], o[:, 0]) for o in outputs]

@@ -1,0 +1,180 @@
+"""Depth-Anything-V2: DINOv2 backbone + DPT refinement head, Flax/NHWC.
+
+Reimplements reference models/depth_anything_v2/dpt.py (DPTHead :38-152,
+DepthAnythingV2 :155-238).  The VFM is frozen at all times in the stereo
+pipeline (reference train.py:262-266 runs it under no_grad).
+
+DPT interpolations use align_corners=True bilinear (FeatureFusionBlock,
+reference util/blocks.py:144) except the final feature upsample which is
+align_corners=False (reference dpt.py:148) — matched via jax.image.resize.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereoanywhere_tpu.config import MonoConfig
+from stereoanywhere_tpu.models.dinov2 import VIT_CONFIGS, DinoVisionTransformer
+from stereoanywhere_tpu.models.layers import Conv, ConvTransposeTorch
+from stereoanywhere_tpu.ops.interp import resize_bilinear_align_corners
+
+INTERMEDIATE_LAYER_IDX = {
+    "vits": (2, 5, 8, 11),
+    "vitb": (2, 5, 8, 11),
+    "vitl": (4, 11, 17, 23),
+    "vitg": (9, 19, 29, 39),
+}
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+class ResidualConvUnit(nn.Module):
+    """relu-conv-relu-conv + skip (reference util/blocks.py:29-80)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        out = jax.nn.relu(x)
+        out = Conv(self.features, 3, 1, 1, name="conv1")(out)
+        out = jax.nn.relu(out)
+        out = Conv(self.features, 3, 1, 1, name="conv2")(out)
+        return out + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """DPT refinenet block (reference util/blocks.py:83-148)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, res=None, size=None):
+        if res is not None:
+            x = x + ResidualConvUnit(self.features, name="resConfUnit1")(res)
+        x = ResidualConvUnit(self.features, name="resConfUnit2")(x)
+        if size is None:
+            size = (x.shape[1] * 2, x.shape[2] * 2)
+        x = resize_bilinear_align_corners(x, size)
+        return Conv(self.features, 1, 1, 0, name="out_conv")(x)
+
+
+class DPTHead(nn.Module):
+    """Reference dpt.py:38-152."""
+
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
+
+    @nn.compact
+    def __call__(self, layer_feats, patch_h: int, patch_w: int):
+        # layer_feats: 4 x (tokens (B,N,D), cls) from shallowest to deepest
+        outs = []
+        for i, (tokens, _cls) in enumerate(layer_feats):
+            b, n, d = tokens.shape
+            x = tokens.reshape(b, patch_h, patch_w, d)
+            x = Conv(self.out_channels[i], 1, 1, 0, name=f"projects_{i}")(x)
+            if i == 0:
+                x = ConvTransposeTorch(self.out_channels[0], 4, 4, name="resize_layers_0")(x)
+            elif i == 1:
+                x = ConvTransposeTorch(self.out_channels[1], 2, 2, name="resize_layers_1")(x)
+            elif i == 3:
+                x = Conv(self.out_channels[3], 3, 2, 1, name="resize_layers_3")(x)
+            outs.append(x)
+
+        l1, l2, l3, l4 = outs
+        f = self.features
+        l1 = Conv(f, 3, 1, 1, use_bias=False, name="scratch_layer1_rn")(l1)
+        l2 = Conv(f, 3, 1, 1, use_bias=False, name="scratch_layer2_rn")(l2)
+        l3 = Conv(f, 3, 1, 1, use_bias=False, name="scratch_layer3_rn")(l3)
+        l4 = Conv(f, 3, 1, 1, use_bias=False, name="scratch_layer4_rn")(l4)
+
+        p4 = FeatureFusionBlock(f, name="scratch_refinenet4")(l4, size=l3.shape[1:3])
+        p3 = FeatureFusionBlock(f, name="scratch_refinenet3")(p4, l3, size=l2.shape[1:3])
+        p2 = FeatureFusionBlock(f, name="scratch_refinenet2")(p3, l2, size=l1.shape[1:3])
+        p1 = FeatureFusionBlock(f, name="scratch_refinenet1")(p2, l1)
+
+        out = Conv(f // 2, 3, 1, 1, name="scratch_output_conv1")(p1)
+        out = jax.image.resize(
+            out, (out.shape[0], patch_h * 14, patch_w * 14, out.shape[-1]), "bilinear"
+        )
+        out = Conv(32, 3, 1, 1, name="scratch_output_conv2_0")(out)
+        out = jax.nn.relu(out)
+        out = Conv(1, 1, 1, 0, name="scratch_output_conv2_2")(out)
+        return jax.nn.relu(out)
+
+
+class DepthAnythingV2(nn.Module):
+    """Full mono branch: NHWC image (ImageNet-normalized, multiple-of-14)
+    -> relative inverse depth (B,H,W,1)."""
+
+    cfg: MonoConfig = MonoConfig()
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        vit_cfg = VIT_CONFIGS[self.cfg.encoder]
+        patch_h, patch_w = x.shape[1] // 14, x.shape[2] // 14
+        feats = DinoVisionTransformer(
+            embed_dim=vit_cfg["embed_dim"],
+            depth=vit_cfg["depth"],
+            num_heads=vit_cfg["num_heads"],
+            name="pretrained",
+        )(x, INTERMEDIATE_LAYER_IDX[self.cfg.encoder])
+        return DPTHead(
+            self.cfg.features, tuple(self.cfg.out_channels), name="depth_head"
+        )(feats, patch_h, patch_w)
+
+
+def imagenet_normalize(image01: jax.Array) -> jax.Array:
+    """[0,1] NHWC -> ImageNet-normalized (reference dpt.py:233-236)."""
+    mean = jnp.asarray(IMAGENET_MEAN, image01.dtype)
+    std = jnp.asarray(IMAGENET_STD, image01.dtype)
+    return (image01 - mean) / std
+
+
+def dav2_input_size(h: int, w: int, input_size_width: int = 518, input_size_height: int = 518) -> tuple[int, int]:
+    """Static-shape resize target: keep-aspect 'lower_bound' multiple-of-14
+    (reference dpt.py:197-229 + util/transform.py:51-107).
+
+    If h > w the target W/H are swapped first (reference dpt.py:201-204).
+    Returns (final_h, final_w).
+    """
+    import numpy as np
+
+    if h > w:
+        input_size_width, input_size_height = input_size_height, input_size_width
+
+    scale_h = input_size_height / h
+    scale_w = input_size_width / w
+    # lower_bound keep-aspect: use the larger scale for both
+    if scale_w > scale_h:
+        scale_h = scale_w
+    else:
+        scale_w = scale_h
+
+    def constrain(x, min_val):
+        y = int(np.round(x / 14) * 14)
+        if y < min_val:
+            y = int(np.ceil(x / 14) * 14)
+        return y
+
+    return constrain(scale_h * h, input_size_height), constrain(scale_w * w, input_size_width)
+
+
+def infer_mono_depth(model: DepthAnythingV2, variables, image01: jax.Array, input_size_width: int = 518, input_size_height: int = 518) -> jax.Array:
+    """End-to-end `infer_image` parity (reference dpt.py:188-238): bicubic
+    resize to the lower-bound multiple-of-14 size, ImageNet-normalize, run,
+    bilinear-resize back to the input resolution.
+
+    NOTE: torch's bicubic uses a=-0.75; `jax.image.resize` cubic uses the
+    Keys kernel a=-0.5 — a sub-1e-2 pixel-value difference on natural images,
+    washed out by the min-max normalization downstream.
+    """
+    b, h, w, _ = image01.shape
+    fh, fw = dav2_input_size(h, w, input_size_width, input_size_height)
+    x = jax.image.resize(image01, (b, fh, fw, 3), "cubic")
+    x = imagenet_normalize(x)
+    depth = model.apply(variables, x)
+    return jax.image.resize(depth, (b, h, w, 1), "bilinear")

@@ -1,0 +1,127 @@
+"""Feature / context encoders (reference extractor.py).
+
+- FeatureEncoder  == BasicEncoder   (reference extractor.py:122-197): instance
+  norm, stride-4 trunk, 256-ch output; left+right run as one doubled batch.
+- ContextEncoder  == MultiBasicEncoder (reference extractor.py:199-300): batch
+  norm, outputs at 1/4, 1/8, 1/16 with two heads per scale (GRU hidden+input).
+
+NHWC throughout.  Module/param naming mirrors torch attribute paths for the
+weight converter (torch `layer2.0.conv1` -> flax `layer2_0/conv1`).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereoanywhere_tpu.models.layers import BatchNorm, Conv, instance_norm
+
+
+class ResidualBlock(nn.Module):
+    """Two 3x3 convs + skip (reference extractor.py:6-60)."""
+
+    features: int
+    norm: str = "instance"  # 'instance' | 'batch' | 'none'
+    stride: int = 1
+
+    def _norm(self, name: str):
+        if self.norm == "batch":
+            return BatchNorm(name=name)
+        if self.norm == "instance":
+            return lambda x, **_: instance_norm(x)
+        return lambda x, **_: x
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_features = x.shape[-1]
+        kw = dict(use_running_average=not train) if self.norm == "batch" else {}
+
+        y = Conv(self.features, 3, self.stride, 1, name="conv1")(x)
+        y = self._norm("norm1")(y, **kw)
+        y = jax.nn.relu(y)
+        y = Conv(self.features, 3, 1, 1, name="conv2")(y)
+        y = self._norm("norm2")(y, **kw)
+        y = jax.nn.relu(y)
+
+        if self.stride != 1 or in_features != self.features:
+            x = Conv(self.features, 1, self.stride, 0, name="downsample_0")(x)
+            x = self._norm("norm3")(x, **kw)
+        return jax.nn.relu(x + y)
+
+
+class FeatureEncoder(nn.Module):
+    """Stereo feature CNN (fnet), instance norm, output 256ch at 1/4 res.
+
+    With n_downsample=2 (shipped): conv1 stride 1, layer2/layer3 stride 2
+    (reference extractor.py:140-146).
+    """
+
+    output_dim: int = 256
+    norm: str = "instance"
+    downsample: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d = self.downsample
+        x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
+        x = instance_norm(x) if self.norm == "instance" else x
+        x = jax.nn.relu(x)
+
+        x = ResidualBlock(64, self.norm, 1, name="layer1_0")(x, train)
+        x = ResidualBlock(64, self.norm, 1, name="layer1_1")(x, train)
+        x = ResidualBlock(96, self.norm, 1 + (d > 1), name="layer2_0")(x, train)
+        x = ResidualBlock(96, self.norm, 1, name="layer2_1")(x, train)
+        x = ResidualBlock(128, self.norm, 1 + (d > 0), name="layer3_0")(x, train)
+        x = ResidualBlock(128, self.norm, 1, name="layer3_1")(x, train)
+
+        return Conv(self.output_dim, 1, 1, 0, name="conv2")(x)
+
+
+class ContextEncoder(nn.Module):
+    """Context CNN (cnet) with batch norm and 3 scales x 2 heads.
+
+    Fed the left mono depth replicated to 3 channels, NOT the RGB image
+    (reference stereoanywhere.py:116).  Returns
+    ((net04, inp04), (net08, inp08), (net16, inp16)) raw head outputs at
+    1/4, 1/8, 1/16 resolution (reference names them outputs08/16/32).
+    """
+
+    output_dims: Sequence[Sequence[int]] = ((128, 128, 128), (128, 128, 128))
+    norm: str = "batch"
+    downsample: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        d = self.downsample
+        kw = dict(use_running_average=not train)
+
+        x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
+        x = BatchNorm(name="norm1")(x, **kw) if self.norm == "batch" else x
+        x = jax.nn.relu(x)
+
+        x = ResidualBlock(64, self.norm, 1, name="layer1_0")(x, train)
+        x = ResidualBlock(64, self.norm, 1, name="layer1_1")(x, train)
+        x = ResidualBlock(96, self.norm, 1 + (d > 1), name="layer2_0")(x, train)
+        x = ResidualBlock(96, self.norm, 1, name="layer2_1")(x, train)
+        x = ResidualBlock(128, self.norm, 1 + (d > 0), name="layer3_0")(x, train)
+        x = ResidualBlock(128, self.norm, 1, name="layer3_1")(x, train)
+
+        outs04 = []
+        for i, dims in enumerate(self.output_dims):
+            h = ResidualBlock(128, self.norm, 1, name=f"outputs08_{i}_0")(x, train)
+            outs04.append(Conv(dims[2], 3, 1, 1, name=f"outputs08_{i}_1")(h))
+
+        y = ResidualBlock(128, self.norm, 2, name="layer4_0")(x, train)
+        y = ResidualBlock(128, self.norm, 1, name="layer4_1")(y, train)
+        outs08 = []
+        for i, dims in enumerate(self.output_dims):
+            h = ResidualBlock(128, self.norm, 1, name=f"outputs16_{i}_0")(y, train)
+            outs08.append(Conv(dims[1], 3, 1, 1, name=f"outputs16_{i}_1")(h))
+
+        z = ResidualBlock(128, self.norm, 2, name="layer5_0")(y, train)
+        z = ResidualBlock(128, self.norm, 1, name="layer5_1")(z, train)
+        outs16 = [Conv(dims[0], 3, 1, 1, name=f"outputs32_{i}")(z) for i, dims in enumerate(self.output_dims)]
+
+        return (tuple(outs04), tuple(outs08), tuple(outs16))

@@ -1,0 +1,123 @@
+"""3-D hourglass cost-volume aggregation with dual feature attention.
+
+Reference hourglass.py:13-91 + submodule.py:113-140 (DoubleFeatureAtt).
+
+Volume layout: NDHWC (B, W3, H, W2, C) — the reference permutes its
+(B,C,H,W2,W3) volume to spatial order (W3, H, W2) before the 3-D convs
+(reference hourglass.py:63) and permutes back after; we keep that spatial
+order natively with channels last (TPU conv3d layout).
+
+Feature maps ("fmde": mono-depth pyramids) are NHWC (B, H', W', C').
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereoanywhere_tpu.models.layers import BasicConv, Conv
+from stereoanywhere_tpu.ops.interp import resize_trilinear_align_corners
+
+
+class DoubleFeatureAtt(nn.Module):
+    """Sigmoid gating of the volume by left x right feature attention
+    (reference submodule.py:113-140).
+
+    cv (B, W3, H, W2, C); feat_left (B,H,W2',Cf); feat_right (B,H,W3',Cf).
+    left attention broadcasts over W3, right attention over W2; the outer
+    product is trilinearly resized to the volume size before gating.
+    """
+
+    cv_features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, cv, feat_left, feat_right):
+        mid = max(32, feat_left.shape[-1] // 2)
+        att_l = BasicConv(
+            mid, norm="instance", act="lrelu",
+            kernel_size=self.kernel_size, stride=self.stride, padding=self.padding,
+            name="feat_att_left_0",
+        )(feat_left)
+        att_l = Conv(self.cv_features, 1, 1, 0, name="feat_att_left_1")(att_l)
+        att_r = BasicConv(
+            mid, norm="instance", act="lrelu",
+            kernel_size=self.kernel_size, stride=self.stride, padding=self.padding,
+            name="feat_att_right_0",
+        )(feat_right)
+        att_r = Conv(self.cv_features, 1, 1, 0, name="feat_att_right_1")(att_r)
+
+        # left: (B,H,W2,C) -> (B, 1, H, W2, C); right: (B,H,W3,C) -> (B, W3, H, 1, C)
+        gate = jax.nn.sigmoid(att_l)[:, None, :, :, :] * jax.nn.sigmoid(att_r).transpose(0, 2, 1, 3)[:, :, :, None, :]
+        gate = resize_trilinear_align_corners(gate, cv.shape[1:4])
+        return gate * cv
+
+
+class Hourglass(nn.Module):
+    """3-level 3-D encoder-decoder over the masked cost volume
+    (reference hourglass.py:13-91).
+
+    in_features=8 (depth-bin channels), out_features=8 in the shipped config.
+    feature pyramids have 4 scales (1/4..1/32 of the image), channels
+    `feature_channels` (all 1 for the shipped mono-depth pyramids).
+    """
+
+    in_features: int = 8
+    out_features: int = 8
+    feature_channels: Sequence[int] = (1, 1, 1, 1)
+    att_kernel_size: int = 3
+    att_stride: int = 1
+    att_padding: int = 1
+
+    @nn.compact
+    def __call__(self, x, features_left, features_right):
+        ns = len(self.feature_channels)  # number_of_scales = 4
+        cin = self.in_features
+        original = x
+
+        att_kw = dict(
+            kernel_size=self.att_kernel_size, stride=self.att_stride, padding=self.att_padding
+        )
+
+        # Downsample path: channels 8 -> 16 -> 32 -> 48 (reference hourglass.py:22-31)
+        down = []
+        for i in range(ns - 1):
+            cout = cin * (2 * (i + 1))
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=2, name=f"down_layers_{i}_0")(x)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"down_layers_{i}_1")(x)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_{i}", **att_kw)(
+                x, features_left[i + 1], features_right[i + 1]
+            )
+            down.append(x)
+
+        # Upsample + aggregate (reference hourglass.py:34-44, 77-82).
+        # QUIRK kept for weight parity: the reference interpolates the STORED
+        # down feature `downsampled_features[ns-2-i]` at every level — not the
+        # previous aggregation result — so agg level 0's output is discarded
+        # (dead weights) and only the last agg level feeds the final stage.
+        for i in range(ns - 2):
+            cout = cin * (2 * (ns - i - 2))
+            skip = down[ns - 3 - i]
+            x_up = resize_trilinear_align_corners(down[ns - 2 - i], skip.shape[1:4])
+            x = jnp.concatenate([x_up, skip], axis=-1)
+            x = BasicConv(cout, is_3d=True, kernel_size=1, padding=0, stride=1, name=f"agg_layers_{i}_0")(x)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_1")(x)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_2")(x)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_up_{i}", **att_kw)(
+                x, features_left[ns - 2 - i], features_right[ns - 2 - i]
+            )
+
+        # Final aggregation at full volume resolution (reference hourglass.py:46-50, 84-89)
+        x_up = resize_trilinear_align_corners(x, original.shape[1:4])
+        x = jnp.concatenate([original, x_up], axis=-1)
+        x = BasicConv(cin, is_3d=True, kernel_size=1, padding=0, stride=1, name="final_agg_0")(x)
+        x = BasicConv(cin, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_1")(x)
+        x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x)
+        x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(
+            x, features_left[0], features_right[0]
+        )
+        return x

@@ -1,0 +1,226 @@
+"""Low-level Flax layers with PyTorch-compatible semantics.
+
+Naming is kept mechanically close to the reference modules so the
+torch->JAX weight converter (compat/torch_convert.py) is a pure name map:
+torch `fnet.layer1.0.conv1.weight` -> flax path `fnet/layer1_0/conv1/kernel`.
+
+Conventions:
+- NHWC / NDHWC layouts.
+- Explicit symmetric padding tuples (torch pads (p,p); XLA 'SAME' may pad
+  asymmetrically, so never use 'SAME').
+- BatchNorm runs on stored running statistics by default: the reference
+  freezes all BatchNorm at every training step (reference train.py:245 ->
+  stereoanywhere.py:78-81), so inference statistics are the only mode the
+  shipped model ever uses.  `use_running_average=False` is still supported.
+- InstanceNorm has no learnable affine (torch default affine=False,
+  reference extractor.py:29-32, submodule.py:17-22).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ---------------------------------------------------------------------------
+# Inits
+
+
+def kaiming_normal_fan_out():
+    """He-normal with fan_out mode (reference extractor.py:155-162)."""
+    return nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+# ---------------------------------------------------------------------------
+# Norms (functional where parameter-free)
+
+
+def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Per-sample, per-channel normalization over spatial dims (no affine).
+
+    Works for NHWC (rank 4) and NDHWC (rank 5).
+    """
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults (eps 1e-5, momentum 0.1, affine).
+
+    Stats live in the 'batch_stats' collection (converted from torch
+    running_mean/running_var).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool = True) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros_init(), None, (features,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones_init(), None, (features,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x - mean) * inv + bias
+
+
+class GroupNorm(nn.Module):
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon)(x)
+
+
+# ---------------------------------------------------------------------------
+# Convs
+
+
+def Conv(
+    features: int,
+    kernel_size: int | tuple[int, int] = 3,
+    stride: int = 1,
+    padding: int = 0,
+    use_bias: bool = True,
+    dilation: int = 1,
+    groups: int = 1,
+    name: str | None = None,
+) -> nn.Conv:
+    """2-D conv factory, torch-style symmetric padding, NHWC.
+
+    A factory (not a wrapper Module) so parameters land directly at
+    `<name>/kernel` — keeping flax paths 1:1 with torch attribute paths for
+    the weight converter.
+    """
+    k = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * 2
+    p = ((padding, padding), (padding, padding))
+    return nn.Conv(
+        features,
+        k,
+        strides=(stride, stride),
+        padding=p,
+        use_bias=use_bias,
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        kernel_init=kaiming_normal_fan_out(),
+        name=name,
+    )
+
+
+def Conv3d(
+    features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    padding: int = 0,
+    use_bias: bool = True,
+    groups: int = 1,
+    name: str | None = None,
+) -> nn.Conv:
+    """3-D conv factory, torch-style symmetric padding, NDHWC."""
+    return nn.Conv(
+        features,
+        (kernel_size,) * 3,
+        strides=(stride,) * 3,
+        padding=((padding, padding),) * 3,
+        use_bias=use_bias,
+        feature_group_count=groups,
+        kernel_init=kaiming_normal_fan_out(),
+        name=name,
+    )
+
+
+class ConvTransposeTorch(nn.Module):
+    """Transposed conv matching torch ConvTranspose2d semantics exactly.
+
+    Implemented as an input-dilated conv with a spatially-flipped kernel —
+    the literal gradient-of-conv definition torch uses.  Output size:
+    (H-1)*stride - 2*padding + kernel.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        in_features = x.shape[-1]
+        # Stored in torch ConvTranspose2d layout-equivalent: (kh, kw, out, in)
+        # so the converter maps weight (in, out, kh, kw) -> transpose(2,3,1,0).
+        kernel = self.param(
+            "kernel", kaiming_normal_fan_out(), (k, k, self.features, in_features)
+        )
+        flipped = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,in,out)
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x,
+            flipped.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# Activations
+
+_ACTS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "lrelu": lambda x: jax.nn.leaky_relu(x, negative_slope=0.01),
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    "none": lambda x: x,
+}
+
+
+class BasicConv(nn.Module):
+    """Conv(+3d) -> norm -> activation (reference submodule.py:25-53).
+
+    norm 'instance' (affine-free) or 'none'; bias disabled like the reference.
+    """
+
+    features: int
+    is_3d: bool = False
+    norm: str = "instance"
+    act: str = "lrelu"
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        conv_cls = Conv3d if self.is_3d else Conv
+        x = conv_cls(
+            self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            padding=self.padding,
+            use_bias=False,
+            name="conv",
+        )(x)
+        if self.norm == "instance":
+            x = instance_norm(x)
+        elif self.norm == "batch":
+            x = BatchNorm(name="norm")(x)
+        return _ACTS[self.act](x)

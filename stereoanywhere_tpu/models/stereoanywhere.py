@@ -1,0 +1,355 @@
+"""StereoAnywhere top module — dual-branch iterative stereo, TPU-native.
+
+Reimplements the full forward dataflow of the reference
+(stereoanywhere.py:95-299) in NHWC with static shapes and a `lax.scan` GRU
+loop.  Sign convention: the public output is POSITIVE disparity; internally
+flow = coords1 - coords0 = -disparity like the reference (negation at the
+reference's call sites, test.py:225).
+
+Inputs (all NHWC):
+  image2, image3: (B,H,W,3) in [0,1]   (left, right)
+  mde2, mde3:     (B,H,W,1) normalized mono depth in [0,1]
+H, W must be multiples of 32 (the eval harness pads, reference test.py:204-213).
+
+Returns a dict:
+  test_mode:  {'disparity': (B,H,W,1) positive}
+  train mode: adds 'disparities' (iters,B,H,W,1), coarse mono/scaled
+  disparities for both views and confidences (reference stereoanywhere.py:299).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stereoanywhere_tpu.config import StereoAnywhereConfig
+from stereoanywhere_tpu.models.extractor import ContextEncoder, FeatureEncoder
+from stereoanywhere_tpu.models.hourglass import Hourglass
+from stereoanywhere_tpu.models.layers import Conv
+from stereoanywhere_tpu.models.update import RefinementStep
+from stereoanywhere_tpu.ops import (
+    all_pairs_correlation,
+    build_corr_pyramid,
+    convex_upsample,
+    estimate_left_confidence,
+    estimate_left_disparity,
+    estimate_normals,
+    estimate_right_confidence,
+    estimate_right_disparity,
+    fuzzy_and,
+    generate_masks,
+    handcrafted_mirror_detector,
+    joint_minmax_normalize,
+    lookup_corr_pyramid,
+    softlrc,
+    truncate_corr_volume,
+    weighted_lsq,
+)
+from stereoanywhere_tpu.ops.interp import (
+    resize_bilinear_align_corners,
+    resize_nearest,
+    resize_trilinear_align_corners,
+)
+from stereoanywhere_tpu.ops.volume import apply_bin_masks, gauss_corr_volume
+
+
+class Conv3dClassifier(nn.Module):
+    """Conv3d(C -> 1, k3, p1, no bias) over NDHWC (reference stereoanywhere.py:73-74)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="conv")(x)
+
+
+class StereoAnywhere(nn.Module):
+    cfg: StereoAnywhereConfig = StereoAnywhereConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        image2: jax.Array,
+        image3: jax.Array,
+        mde2: jax.Array,
+        mde3: jax.Array,
+        iters: int = 32,
+        test_mode: bool = True,
+        train: bool = False,
+        debug: bool = False,
+    ) -> dict[str, Any]:
+        cfg = self.cfg
+        b, h, w, c = image2.shape
+        f = cfg.downsample_factor
+        h4, w4 = h // f, w // f
+        w_lowres = w4
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        if c == 1:
+            image2 = jnp.concatenate([image2] * 3, axis=-1)
+            image3 = jnp.concatenate([image3] * 3, axis=-1)
+            image2, image3 = joint_minmax_normalize([image2, image3])
+
+        image2 = image2 * 2.0 - 1.0
+        image3 = image3 * 2.0 - 1.0
+
+        # --- mono pyramids (reference stereoanywhere.py:109-114) -----------
+        mde2_low = resize_bilinear_align_corners(mde2, (h4, w4))
+        mde3_low = resize_bilinear_align_corners(mde3, (h4, w4))
+        vf = 2 ** cfg.vol_downsample
+        if cfg.vol_downsample > 0:
+            mde2_vlow = resize_bilinear_align_corners(mde2, (h // vf, w // vf))
+            mde3_vlow = resize_bilinear_align_corners(mde3, (h // vf, w // vf))
+        else:
+            mde2_vlow, mde3_vlow = mde2, mde3
+        normal_gain = w_lowres / cfg.normal_gain
+        normals2 = estimate_normals(mde2_low, normal_gain)
+        normals3 = estimate_normals(mde3_low, normal_gain)
+
+        # --- context encoder on replicated mono depth (ref :116-120) -------
+        cnet_out = ContextEncoder(name="cnet")(
+            jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=train
+        )
+        net_list = [jnp.tanh(o[0]) for o in cnet_out]
+        inp_list = []
+        for i, o in enumerate(cnet_out):
+            ctx = Conv(cfg.context_dims[i] * 3, 3, 1, 1, name=f"context_zqr_convs_{i}")(
+                jax.nn.relu(o[1])
+            )
+            inp_list.append(tuple(jnp.split(ctx, 3, axis=-1)))
+
+        # --- feature encoder, both views as one doubled batch (ref :122) ---
+        fmaps = FeatureEncoder(cfg.fnet_dim, name="fnet")(
+            jnp.concatenate([image2, image3], axis=0).astype(cdt), train=train
+        )
+        fmap2 = fmaps[:b].astype(jnp.float32)
+        fmap3 = fmaps[b:].astype(jnp.float32)
+
+        # --- mono-depth feature pyramids for hourglass attention (ref :124-125)
+        hv, wv = mde2_vlow.shape[1], mde2_vlow.shape[2]
+        fmde2 = [
+            resize_bilinear_align_corners(mde2_vlow, (hv // (2 ** i), wv // (2 ** i)))
+            for i in range(cfg.n_downsample, 6)
+        ]
+        fmde3 = [
+            resize_bilinear_align_corners(mde3_vlow, (hv // (2 ** i), wv // (2 ** i)))
+            for i in range(cfg.n_downsample, 6)
+        ]
+
+        # --- all-pairs volumes (ref :135-136): MXU batched matmuls ---------
+        stereo_vol = all_pairs_correlation(fmap2, fmap3)  # (B,H4,W4,W4)
+        mono_vol = 1.73 * all_pairs_correlation(normals2, normals3)
+
+        left_masks = generate_masks(mde2_low, cfg.vol_n_masks)   # (B,H4,W4,N)
+        right_masks = generate_masks(mde3_low, cfg.vol_n_masks)
+
+        orig_vol_dhw = mono_vol.shape[1:4]
+        if cfg.vol_downsample > 0:
+            tgt = tuple(s // vf for s in orig_vol_dhw)
+            mono_vol = resize_trilinear_align_corners(mono_vol[..., None], tgt)[..., 0]
+            left_masks = resize_nearest(left_masks, (tgt[0], tgt[1]))
+            right_masks = resize_nearest(right_masks, (tgt[0], tgt[2]))
+
+        # --- masked mono volume -> hourglass -> classifiers (ref :161-166) -
+        masked_mono = apply_bin_masks(mono_vol, left_masks, right_masks)  # (B,H,W2,W3,N)
+        masked_mono = masked_mono.transpose(0, 3, 1, 2, 4).astype(cdt)    # (B,W3,H,W2,N)
+        agg = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_mono")(
+            masked_mono, fmde2, fmde3
+        )
+        # The reference un-permutes the volume to (H,W2,W3) BEFORE the
+        # classifier conv3d (reference hourglass.py:91 -> stereoanywhere.py:165),
+        # so the learned 3x3x3 kernel axes correspond to (H,W2,W3); match that.
+        agg = agg.transpose(0, 2, 3, 1, 4)  # (B,W3,H,W2,C) -> (B,H,W2,W3,C)
+        agg_disp = Conv3dClassifier(name="classifier_mono")(agg).astype(jnp.float32)
+        agg_conf = Conv3dClassifier(name="classifier_monoconf")(
+            jax.lax.stop_gradient(agg)
+        ).astype(jnp.float32)
+        agg_disp = agg_disp[..., 0]  # (B,H,W2,W3)
+        agg_conf = agg_conf[..., 0]
+
+        if cfg.vol_downsample > 0:
+            agg_disp = resize_trilinear_align_corners(agg_disp[..., None], orig_vol_dhw)[..., 0]
+            agg_conf = resize_trilinear_align_corners(agg_conf[..., None], orig_vol_dhw)[..., 0]
+
+        # --- coarse disparities + confidences (ref :174-189) ---------------
+        coarse_dispmono2_low = estimate_left_disparity(agg_disp)
+        coarse_dispmono3_low = estimate_right_disparity(agg_disp)
+        conf2_low = estimate_left_confidence(agg_conf)
+        conf3_low = estimate_right_confidence(agg_conf)
+
+        coarse_dispmono2 = resize_bilinear_align_corners(coarse_dispmono2_low, (h, w)) * f
+        coarse_dispmono3 = resize_bilinear_align_corners(coarse_dispmono3_low, (h, w)) * f
+        coarse_conf2 = resize_bilinear_align_corners(conf2_low, (h, w))
+        coarse_conf3 = resize_bilinear_align_corners(conf3_low, (h, w))
+
+        lrc2_low, lrc3_low = softlrc(coarse_dispmono2_low, coarse_dispmono3_low, cfg.lrc_th)
+        dispconf2_low = fuzzy_and(conf2_low, lrc2_low)
+        dispconf3_low = fuzzy_and(conf3_low, lrc3_low)
+
+        # --- global scale/shift via weighted LSQ (ref :191-197) ------------
+        scale, shift = weighted_lsq(
+            jnp.concatenate([mde2_low, mde3_low], axis=-1),
+            jnp.concatenate([coarse_dispmono2_low, coarse_dispmono3_low], axis=-1),
+            jnp.concatenate([dispconf2_low, dispconf3_low], axis=-1),
+        )
+        scaled_mde2_low = scale * mde2_low + shift
+        scaled_mde2 = (scale * mde2 + shift) * f
+        scaled_mde3 = (scale * mde3 + shift) * f
+        scaled_mde3_low = scale * mde3_low + shift
+
+        lrc_scaled2_low, _ = softlrc(scaled_mde2_low, scaled_mde3_low, cfg.lrc_th)
+
+        # --- mirror detection + stereo-volume truncation (ref :201-205) ----
+        if cfg.use_truncate_vol:
+            mirror_conf = handcrafted_mirror_detector(
+                coarse_dispmono2_low,
+                scaled_mde2_low,
+                dispconf2_low,
+                lrc_scaled2_low,
+                conf_th=cfg.mirror_conf_th,
+            )
+            trunc_mask = jax.lax.stop_gradient(
+                truncate_corr_volume(scaled_mde2_low, mirror_conf, None, cfg.mirror_attenuation)
+            )
+        else:
+            trunc_mask = jnp.ones_like(stereo_vol[..., :1])
+
+        _stereo_vol = stereo_vol
+        _mono_vol = agg_disp if cfg.use_aggregate_mono_vol else mono_vol
+
+        # --- train-time volume-corruption augmentation (ref :214-251) ------
+        if train and cfg.volume_corruption_prob > 0:
+            _stereo_vol, _mono_vol = self._corrupt_volumes(
+                _stereo_vol, _mono_vol, mde2_low, coarse_dispmono2_low, w_lowres
+            )
+
+        stereo_pyr = build_corr_pyramid(trunc_mask * _stereo_vol, cfg.corr_levels, cfg.corr_radius)
+        mono_pyr = build_corr_pyramid(_mono_vol, cfg.corr_levels, cfg.corr_radius)
+
+        # --- iterative refinement: nn.scan over RefinementStep (ref :261-294)
+        coords0 = jnp.broadcast_to(
+            jnp.arange(w4, dtype=jnp.float32)[None, None, :, None], (b, h4, w4, 1)
+        )
+        coords1 = coords0 if cfg.init_disparity_zero else coords0 - scaled_mde2_low
+
+        ScannedStep = nn.scan(
+            RefinementStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=nn.broadcast,
+            out_axes=0,
+            length=iters,
+        )
+        step_mod = ScannedStep(
+            hidden_dims=tuple(cfg.context_dims),
+            n_gru_layers=cfg.n_gru_layers,
+            n_downsample=cfg.n_downsample,
+            corr_radius=cfg.corr_radius,
+            emit_outputs=not test_mode,
+            compute_dtype=cfg.compute_dtype,
+            name="update_block",
+        )
+        inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
+        net_init = tuple(n.astype(cdt) for n in net_list)
+        mask_init = jnp.zeros((b, h4, w4, 9 * f * f), cdt)
+
+        (net_final, coords1, mask_final), ys = step_mod(
+            (net_init, coords1, mask_init),
+            (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0),
+        )
+
+        result: dict[str, Any] = {}
+        if test_mode:
+            flow_x = coords1 - coords0
+            flow_up = convex_upsample(
+                flow_x, mask_final.astype(jnp.float32), cfg.n_downsample
+            )
+            result["disparity"] = -flow_up
+        else:
+            flows, masks = ys  # (iters,B,h4,w4,1), (iters,B,h4,w4,9ff)
+            it = flows.shape[0]
+            flows_flat = flows.reshape((it * b, h4, w4, 1))
+            masks_flat = masks.astype(jnp.float32).reshape((it * b, h4, w4, 9 * f * f))
+            ups = convex_upsample(flows_flat, masks_flat, cfg.n_downsample)
+            result["disparities"] = -ups.reshape((it, b, h, w, 1))
+            result["disparity"] = result["disparities"][-1]
+
+        if debug:
+            result.update(
+                dbg_agg_disp=agg_disp,
+                dbg_agg_conf=agg_conf,
+                dbg_mono_vol=mono_vol,
+                dbg_stereo_vol=stereo_vol,
+                dbg_masked_mono=masked_mono,
+                dbg_coarse_dispmono2_low=coarse_dispmono2_low,
+                dbg_agg=agg,
+                dbg_fmde2=fmde2,
+                dbg_trunc_mask=trunc_mask,
+                dbg_fmap2=fmap2,
+            )
+
+        # Coarse outputs (positive disparity convention; reference returns
+        # these in train mode, stereoanywhere.py:299 — we also expose them in
+        # test mode for diagnostics at negligible cost).
+        result.update(
+            coarse_dispmono2=coarse_dispmono2,
+            coarse_dispmono3=coarse_dispmono3,
+            coarse_scaled_mde2=scaled_mde2,
+            coarse_scaled_mde3=scaled_mde3,
+            coarse_conf2=coarse_conf2,
+            coarse_conf3=coarse_conf3,
+            scale=scale,
+            shift=shift,
+        )
+        return result
+
+    # ------------------------------------------------------------------
+    def _corrupt_volumes(self, stereo_vol, mono_vol, mde2_low, coarse_disp_low, w_lowres):
+        """6-way mutually-exclusive volume corruption (reference :214-251).
+
+        The reference chains `elif random.random() < p` six times, so branch i
+        fires with probability (1-p)^i * p — we replicate that distribution
+        with a PRNG-keyed first-success select, all under stop_gradient.
+        Branches: 0/1/2 corrupt the stereo volume (roll/noise/zero),
+        3/4/5 the mono volume.
+        """
+        cfg = self.cfg
+        key = self.make_rng("corruption")
+        k_u, k_mask, k_shift, k_noise = jax.random.split(key, 4)
+
+        us = jax.random.uniform(k_u, (6,))
+        hit = us < cfg.volume_corruption_prob
+        # index of first success; 6 = no corruption
+        idx = jnp.argmax(jnp.concatenate([hit, jnp.array([True])]).astype(jnp.int32))
+
+        aug_masks = generate_masks(mde2_low, cfg.vol_aug_n_masks)  # (B,H,W,Nm)
+        mi = jax.random.randint(k_mask, (), 0, cfg.vol_aug_n_masks)
+        left_mask = jnp.take(aug_masks, mi, axis=-1)[..., None]  # (B,H,W2,1)
+
+        shift_amt = jax.random.randint(k_shift, (), 1, w_lowres + 1)
+
+        def roll(vol):
+            rolled = jnp.roll(vol, shift_amt, axis=2)  # roll along W2 (ref dims=3)
+            return vol * (1 - left_mask) + rolled * left_mask
+
+        def noise(vol):
+            nz = jax.random.uniform(k_noise, left_mask.shape, vol.dtype)
+            return vol * (1 - left_mask) + vol * nz * left_mask
+
+        def zero(vol):
+            curve = gauss_corr_volume(jnp.zeros_like(coarse_disp_low), jnp.max(vol))
+            return vol * (1 - left_mask) + vol * curve * left_mask
+
+        sg = jax.lax.stop_gradient
+        # Only the corrupted volume is detached (reference uses `.detach()` on
+        # the blended result; the untouched volume keeps its gradients).
+        branches = [
+            lambda: (sg(roll(stereo_vol)), mono_vol),
+            lambda: (sg(noise(stereo_vol)), mono_vol),
+            lambda: (sg(zero(stereo_vol)), mono_vol),
+            lambda: (stereo_vol, sg(roll(mono_vol))),
+            lambda: (stereo_vol, sg(noise(mono_vol))),
+            lambda: (stereo_vol, sg(zero(mono_vol))),
+            lambda: (stereo_vol, mono_vol),
+        ]
+        return jax.lax.switch(idx, branches)

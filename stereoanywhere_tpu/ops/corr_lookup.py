@@ -1,0 +1,78 @@
+"""Correlation-pyramid construction and per-iteration radius-window lookup.
+
+TPU-native replacement for the reference CorrBlock1D (reference corr.py:75-115)
+and the external `corr_sampler` CUDA extension (reference corr.py:5-29).
+
+The pyramid is built once per forward (avg-pool-2 over the disparity axis);
+each GRU iteration gathers a (2r+1)-tap linearly-interpolated window around
+the current disparity estimate from every level.  The gather is expressed as
+clipped `take_along_axis` + lerp, which XLA lowers to an efficient dynamic
+gather; the (B,H,W2,W3) volume layout keeps the gathered axis in lanes.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereoanywhere_tpu.ops.interp import avg_pool_last_axis_2
+
+
+class CorrPyramid(NamedTuple):
+    """Tuple of volumes (B,H,W2,W3/2^i) for i in [0, num_levels)."""
+
+    levels: tuple[jax.Array, ...]
+    radius: int
+
+
+def build_corr_pyramid(volume: jax.Array, num_levels: int = 4, radius: int = 4) -> CorrPyramid:
+    """volume (B,H,W2,W3) -> pyramid of `num_levels` levels.
+
+    Reference corr.py:85-91 builds 1+num_levels levels but only indexes the
+    first num_levels (corr.py:101); we build exactly what is used.
+    """
+    levels = [volume]
+    for _ in range(num_levels - 1):
+        levels.append(avg_pool_last_axis_2(levels[-1]))
+    return CorrPyramid(levels=tuple(levels), radius=radius)
+
+
+def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Gather a (2r+1) window with linear interp and zeros padding.
+
+    level (B,H,W2,Wl); coords (B,H,W2) fractional positions in level units.
+    Returns (B,H,W2,2r+1).  Matches bilinear_sampler with align_corners=True
+    and zeros padding (reference utils/utils.py:19-35): positions outside
+    [0, Wl-1] fade linearly to 0.
+    """
+    wl = level.shape[-1]
+    taps = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
+    pos = coords[..., None] + taps  # (B,H,W2,2r+1)
+
+    x0 = jnp.floor(pos)
+    frac = (pos - x0).astype(level.dtype)
+    x0i = x0.astype(jnp.int32)
+    x1i = x0i + 1
+
+    def tap(idx, weight):
+        valid = (idx >= 0) & (idx <= wl - 1)
+        safe = jnp.clip(idx, 0, wl - 1)
+        vals = jnp.take_along_axis(level, safe, axis=-1)
+        return vals * weight * valid.astype(level.dtype)
+
+    return tap(x0i, 1.0 - frac) + tap(x1i, frac)
+
+
+def lookup_corr_pyramid(pyramid: CorrPyramid, coords: jax.Array) -> jax.Array:
+    """Index all pyramid levels at `coords` (B,H,W2) (x-coordinate in the
+    right image, i.e. coords1 x), returning (B,H,W2, levels*(2r+1)).
+
+    Level i is indexed at coords / 2^i (reference corr.py:105).
+    Output channel order matches the reference concatenation: level-major
+    [l0 taps..., l1 taps..., ...] (reference corr.py:112-115).
+    """
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        outs.append(_lookup_level(level, coords / (2 ** i), pyramid.radius))
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,130 @@
+"""Interpolation / pooling primitives with PyTorch-compatible semantics.
+
+The reference uses `F.interpolate(..., align_corners=True)` throughout the
+stereo branch (reference stereoanywhere.py:109-112, update.py:130-132,
+hourglass.py:79-86, utils/utils.py:42-46).  `jax.image.resize` only implements
+half-pixel (align_corners=False) sampling, so we implement align-corners
+bilinear/trilinear resizing as separable 1-D gather+lerp — which XLA fuses
+well on TPU.
+
+All ops are channel-last (NHWC / NDHWC): the TPU-native layout.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _axis_lerp_weights(in_size: int, out_size: int, dtype=jnp.float32):
+    """align_corners=True source coords: i_out * (in-1)/(out-1)."""
+    if out_size == 1:
+        src = jnp.zeros((1,), dtype)
+    else:
+        scale = (in_size - 1) / (out_size - 1)
+        src = jnp.arange(out_size, dtype=dtype) * jnp.asarray(scale, dtype)
+    x0 = jnp.clip(jnp.floor(src), 0, max(in_size - 1, 0)).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, in_size - 1)
+    w = (src - x0.astype(dtype)).astype(dtype)
+    return x0, x1, w
+
+
+def _resize_axis_align_corners(x: jax.Array, axis: int, out_size: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    x0, x1, w = _axis_lerp_weights(in_size, out_size, jnp.float32)
+    a = jnp.take(x, x0, axis=axis)
+    b = jnp.take(x, x1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w = w.reshape(shape).astype(x.dtype)
+    return a * (1 - w) + b * w
+
+
+def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """NHWC bilinear resize, align_corners=True (torch `F.interpolate` parity)."""
+    assert x.ndim == 4, x.shape
+    x = _resize_axis_align_corners(x, 1, out_hw[0])
+    x = _resize_axis_align_corners(x, 2, out_hw[1])
+    return x
+
+
+def resize_trilinear_align_corners(x: jax.Array, out_dhw: tuple[int, int, int]) -> jax.Array:
+    """NDHWC trilinear resize, align_corners=True."""
+    assert x.ndim == 5, x.shape
+    x = _resize_axis_align_corners(x, 1, out_dhw[0])
+    x = _resize_axis_align_corners(x, 2, out_dhw[1])
+    x = _resize_axis_align_corners(x, 3, out_dhw[2])
+    return x
+
+
+def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """NHWC nearest resize (torch `mode='nearest'`: floor(i_out * in/out))."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = out_hw
+    ih = jnp.floor(jnp.arange(h_out) * (h_in / h_out)).astype(jnp.int32)
+    iw = jnp.floor(jnp.arange(w_out) * (w_in / w_out)).astype(jnp.int32)
+    return x[:, ih][:, :, iw]
+
+
+def interp_like(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Bilinear align-corners resize of x to ref's spatial size (reference update.py:130-132)."""
+    return resize_bilinear_align_corners(x, (ref.shape[1], ref.shape[2]))
+
+
+def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:
+    """NHWC average pooling, torch semantics with count_include_pad=True
+    (divisor is always kernel**2, zero padding)."""
+    window = (1, kernel, kernel, 1)
+    strides = (1, stride, stride, 1)
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    summed = lax.reduce_window(x, 0.0, lax.add, window, strides, pads)
+    return summed / (kernel * kernel)
+
+
+def pool2x(x: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 average pool (reference update.py:124-125)."""
+    return avg_pool2d(x, 3, 2, 1)
+
+
+def pool4x(x: jax.Array) -> jax.Array:
+    """5x5 stride-4 pad-1 average pool (reference update.py:127-128)."""
+    return avg_pool2d(x, 5, 4, 1)
+
+
+def avg_pool_last_axis_2(x: jax.Array) -> jax.Array:
+    """Average-pool by 2 along the LAST axis (disparity-pyramid construction,
+    reference corr.py:88-91: `F.avg_pool2d(corr, [1,2], stride=[1,2])`).
+
+    Odd trailing sizes drop the final element, matching torch's floor division.
+    """
+    n = x.shape[-1]
+    m = (n // 2) * 2
+    x = x[..., :m]
+    return 0.5 * (x[..., 0::2] + x[..., 1::2])
+
+
+def sample_1d_linear(values: jax.Array, coords: jax.Array) -> jax.Array:
+    """Linear sampling of `values` (..., W) at fractional positions
+    `coords` (..., K), with zeros padding outside [0, W-1].
+
+    Matches `F.grid_sample(..., align_corners=True, padding_mode='zeros')`
+    restricted to a 1-D row (reference utils/utils.py:19-35 bilinear_sampler,
+    which asserts H==1 — "this is a stereo problem").
+    """
+    w = values.shape[-1]
+    x0 = jnp.floor(coords)
+    frac = coords - x0
+    x0i = x0.astype(jnp.int32)
+    x1i = x0i + 1
+
+    def tap(idx, weight):
+        valid = (idx >= 0) & (idx <= w - 1)
+        safe = jnp.clip(idx, 0, w - 1)
+        v = jnp.take_along_axis(values, safe, axis=-1)
+        return v * weight * valid.astype(values.dtype)
+
+    return tap(x0i, (1.0 - frac).astype(values.dtype)) + tap(x1i, frac.astype(values.dtype))

@@ -1,0 +1,241 @@
+"""Trainer: optax AdamW + OneCycle, data-parallel train step, orbax
+checkpointing, SIGTERM-safe save/resume.
+
+Replaces the reference's train.py loop (reference train.py:209-229, 382-431,
+507-511, 647-665) with a library-driven, sharded, jittable step:
+
+- AdamW(weight_decay 1e-5, eps 1e-8) + OneCycleLR(pct_start 0.001, linear)
+  == optax.adamw + optax.linear_onecycle_schedule
+- global-norm grad clip 1.0
+- frozen parameter groups via optax.masked zero-updates (reference
+  freeze_for_finetuning, stereoanywhere.py:83-93)
+- batch sharded over the mesh 'data' axis (replaces nn.DataParallel)
+- orbax async checkpointing with optimizer/step state; SIGTERM handler
+  saves `checkpoint_stopped` like the reference's signal handler.
+"""
+from __future__ import annotations
+
+import dataclasses
+import signal
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from stereoanywhere_tpu.config import StereoAnywhereConfig, TrainConfig
+from stereoanywhere_tpu.models import StereoAnywhere
+from stereoanywhere_tpu.ops.geometry import joint_minmax_normalize
+from stereoanywhere_tpu.train.loss import stereoanywhere_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+        )
+
+
+def freeze_mask(params, things_to_freeze: tuple[str, ...]):
+    """True = trainable.  Freeze groups match the reference's name groups
+    (reference stereoanywhere.py:83-93): fnet | cnet (+context_zqr) | monoagg."""
+    groups = {
+        "fnet": ("fnet",),
+        "cnet": ("cnet", "context_zqr_convs_0", "context_zqr_convs_1", "context_zqr_convs_2"),
+        "monoagg": ("hourglass_mono", "classifier_mono", "classifier_monoconf"),
+    }
+    frozen_tops = set()
+    for g in things_to_freeze:
+        frozen_tops.update(groups[g])
+    return {top: jax.tree.map(lambda _: top not in frozen_tops, sub) for top, sub in params.items()}
+
+
+def make_optimizer(cfg: TrainConfig, total_steps: int, params):
+    sched = optax.linear_onecycle_schedule(
+        transition_steps=total_steps + 100,
+        peak_value=cfg.lr,
+        pct_start=cfg.pct_start,
+        pct_final=1.0,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=cfg.adam_eps, weight_decay=cfg.weight_decay),
+    )
+    if cfg.things_to_freeze:
+        mask = freeze_mask(params, cfg.things_to_freeze)
+        tx = optax.chain(optax.masked(tx, mask), optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)))
+    return tx, sched
+
+
+def make_train_step(
+    model: StereoAnywhere,
+    tx,
+    cfg: TrainConfig,
+    mesh: Mesh | None = None,
+):
+    """Returns a jitted train_step(state, batch, rng) -> (state, logs).
+
+    batch: dict of NHWC arrays (im2_aug, im3_aug, mono2, mono3, gt, validgt,
+    gt_right, validgt_right), already normalized mono.  When `mesh` is given,
+    batch axes are sharded over 'data'.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        outputs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["im2_aug"],
+            batch["im3_aug"],
+            batch["mono2"],
+            batch["mono3"],
+            iters=cfg.train_iters,
+            test_mode=False,
+            train=True,
+            rngs={"corruption": rng},
+            mutable=["batch_stats"],
+        )
+        total, logs = stereoanywhere_loss(
+            outputs,
+            batch["gt"],
+            batch["validgt"],
+            batch["gt_right"],
+            batch["validgt_right"],
+            batch["mono2"],
+            batch["mono3"],
+            cfg,
+        )
+        return total, (logs, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng):
+        (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        # NaN-guard (reference nan_to_num on grads, train.py:407)
+        grads = jax.tree.map(lambda g: jnp.nan_to_num(g), grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        logs["grad_norm"] = optax.global_norm(grads)
+        state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats, opt_state=new_opt
+        )
+        return state, logs
+
+    if mesh is not None:
+        batch_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, batch_sharding, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+class Trainer:
+    """Orchestrates init, stepping, checkpoint/resume and graceful stop."""
+
+    def __init__(
+        self,
+        model_cfg: StereoAnywhereConfig,
+        train_cfg: TrainConfig,
+        total_steps: int,
+        mesh: Mesh | None = None,
+        checkpoint_dir: str | None = None,
+        init_variables: Any | None = None,
+        sample_shape: tuple[int, int] = (320, 640),
+    ):
+        self.model = StereoAnywhere(model_cfg)
+        self.cfg = train_cfg
+        self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self._stop_requested = False
+
+        if init_variables is None:
+            h, w = sample_shape
+            dummy = jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 1)), jnp.zeros((1, h, w, 1))
+            init_variables = self.model.init(
+                jax.random.PRNGKey(train_cfg.seed), *dummy, iters=1, test_mode=True
+            )
+        self.tx, self.schedule = make_optimizer(train_cfg, total_steps, init_variables["params"])
+        self.state = TrainState.create(
+            init_variables["params"], init_variables.get("batch_stats", {}), self.tx
+        )
+        self.train_step = make_train_step(self.model, self.tx, train_cfg, mesh)
+        self._rng = jax.random.PRNGKey(train_cfg.seed + 1)
+
+        if checkpoint_dir:
+            self._install_signal_handlers()
+
+    # -- stepping --------------------------------------------------------
+    def step(self, batch: dict) -> dict:
+        batch = dict(batch)
+        mono2, mono3 = joint_minmax_normalize([batch["mono2"], batch["mono3"]])
+        batch["mono2"], batch["mono3"] = jax.lax.stop_gradient(mono2), jax.lax.stop_gradient(mono3)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, logs = self.train_step(self.state, batch, sub)
+        return logs
+
+    @property
+    def stop_requested(self) -> bool:
+        return self._stop_requested
+
+    # -- checkpointing ---------------------------------------------------
+    def _install_signal_handlers(self):
+        def handler(signum, frame):
+            # Graceful stop (reference train.py:507-511): finish the step,
+            # then the caller saves `checkpoint_stopped` and exits.
+            self._stop_requested = True
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, handler)
+            except (ValueError, OSError):
+                pass  # non-main thread
+
+    def save(self, tag: str = "latest"):
+        if not self.checkpoint_dir:
+            return
+        import orbax.checkpoint as ocp
+        import os
+
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, tag))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        }, force=True)
+        ckptr.wait_until_finished()
+
+    def restore(self, tag: str = "latest"):
+        import orbax.checkpoint as ocp
+        import os
+
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, tag))
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "step": self.state.step,
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+        }
+        restored = ckptr.restore(path, target)
+        self.state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )

@@ -1,0 +1,89 @@
+"""Smoke + behavior tests for the full StereoAnywhere forward pass.
+
+Shapes are minimal (32x64: the smallest multiple-of-32 frame the 4-scale
+hourglass supports) to keep CPU compile times tractable.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stereoanywhere_tpu.config import StereoAnywhereConfig
+from stereoanywhere_tpu.models import StereoAnywhere
+
+
+@pytest.fixture(scope="module")
+def tiny_inputs():
+    rng = np.random.default_rng(1)
+    b, h, w = 1, 32, 64
+    im2 = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    im3 = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    mde2 = rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32)
+    mde3 = rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (im2, im3, mde2, mde3))
+
+
+@pytest.fixture(scope="module")
+def model_and_params(tiny_inputs):
+    model = StereoAnywhere(StereoAnywhereConfig())
+    variables = model.init(jax.random.PRNGKey(0), *tiny_inputs, iters=1, test_mode=True)
+    return model, variables
+
+
+def test_forward_test_mode(model_and_params, tiny_inputs):
+    model, variables = model_and_params
+
+    @jax.jit
+    def fwd(v, *args):
+        return model.apply(v, *args, iters=2, test_mode=True)
+
+    out = fwd(variables, *tiny_inputs)
+    disp = np.asarray(out["disparity"])
+    assert disp.shape == (1, 32, 64, 1)
+    assert np.isfinite(disp).all()
+    assert np.isfinite(np.asarray(out["coarse_dispmono2"])).all()
+    assert np.isfinite(np.asarray(out["scale"])).all()
+    # determinism
+    np.testing.assert_array_equal(np.asarray(fwd(variables, *tiny_inputs)["disparity"]), disp)
+
+
+def test_train_mode_and_gradients(model_and_params, tiny_inputs):
+    # volume corruption off: a firing corruption branch detaches the whole
+    # corrupted volume (matching reference `.detach()`, stereoanywhere.py:221)
+    # which legitimately zeroes fnet grads for that step.
+    model = StereoAnywhere(StereoAnywhereConfig(volume_corruption_prob=0.0))
+    variables = model_and_params[1]
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p, **rest},
+            *tiny_inputs,
+            iters=2,
+            test_mode=False,
+            train=True,
+            rngs={"corruption": jax.random.PRNGKey(7)},
+            mutable=["batch_stats"],
+        )[0]
+        aux = (out["disparities"], out["disparity"])
+        loss = (
+            jnp.abs(out["disparities"]).mean()
+            + jnp.abs(out["coarse_dispmono2"]).mean()
+            + jnp.abs(out["coarse_dispmono3"]).mean()
+            + jnp.abs(out["coarse_conf2"]).mean()
+        )
+        return loss, aux
+
+    (loss, (disps, disp)), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert disps.shape == (2, 1, 32, 64, 1)
+    assert np.isfinite(np.asarray(disps)).all()
+    np.testing.assert_array_equal(np.asarray(disps[-1]), np.asarray(disp))
+
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(bool(jnp.isfinite(g).all()) for g in flat)
+    nonzero = [bool(jnp.abs(g).max() > 0) for g in flat]
+    frac = float(np.mean(nonzero))
+    # fnet, cnet, hourglass, update block, classifiers all sit on the loss path
+    assert frac > 0.9, f"only {frac:.2%} of params got nonzero grads"
