@@ -1,0 +1,275 @@
+"""Command-line entry points: evaluate / train / precompute-mono / serve.
+
+Replaces the reference's per-script argparse CLIs (reference test.py,
+train.py, mono_sceneflow.py, demo/fast_demo_server.py) with one typed-config
+driver:
+
+  python -m stereoanywhere_tpu.cli eval  --dataset middlebury --datapath ... \
+      --checkpoint sceneflow.tar --mono-checkpoint depth_anything_v2_vitl.pth
+  python -m stereoanywhere_tpu.cli train --datapath ft;monkaa;driving ...
+  python -m stereoanywhere_tpu.cli precompute-mono --dataset sceneflow ...
+  python -m stereoanywhere_tpu.cli serve --checkpoint ... --port 8008
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _load_stereo(checkpoint: str | None, cfg, sample_hw=(64, 96)):
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    model = StereoAnywhere(cfg)
+    if checkpoint:
+        from stereoanywhere_tpu.compat import convert_stereo_checkpoint, load_torch_state_dict
+
+        variables = convert_stereo_checkpoint(load_torch_state_dict(checkpoint))
+        variables = {k: jax.tree.map(jnp.asarray, v) for k, v in variables.items()}
+    else:
+        import numpy as np
+
+        h, w = sample_hw
+        dummy = tuple(
+            jnp.zeros((1, h, w, c), jnp.float32) for c in (3, 3, 1, 1)
+        )
+        init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
+        variables = init_fn(jax.random.PRNGKey(0), *dummy)
+    return model, variables
+
+
+def _load_mono(checkpoint: str | None, encoder: str = "vitl"):
+    if not checkpoint:
+        return None, None
+    import jax.numpy as jnp
+    import jax
+
+    from stereoanywhere_tpu.compat import convert_dav2_checkpoint, load_torch_state_dict
+    from stereoanywhere_tpu.config import MonoConfig
+    from stereoanywhere_tpu.models.dpt import DepthAnythingV2
+
+    cfg = MonoConfig.for_encoder(encoder)
+    model = DepthAnythingV2(cfg)
+    variables = convert_dav2_checkpoint(load_torch_state_dict(checkpoint))
+    variables = jax.tree.map(jnp.asarray, variables)
+    return model, variables
+
+
+def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.data import fetch_dataset
+    from stereoanywhere_tpu.eval.harness import DAV2_SIZES, Evaluator
+    from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
+
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    model, variables = _load_stereo(args.checkpoint, cfg)
+    mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+
+    @jax.jit
+    def stereo_jit(im2, im3, m2, m3):
+        return model.apply(variables, im2, im3, m2, m3, iters=args.iters, test_mode=True)[
+            "disparity"
+        ]
+
+    def stereo_fn(im2, im3, m2, m3):
+        return stereo_jit(*[jnp.asarray(x) for x in (im2, im3, m2, m3)])
+
+    mono_fn = None
+    if mono_model is not None:
+        tw, th = DAV2_SIZES.get(args.dataset, (518, 518))
+
+        def mono_fn(images01, dataset):
+            b, h, w, _ = images01.shape
+            fh, fw = dav2_input_size(h, w, tw, th)
+            x = jax.image.resize(jnp.asarray(images01), (b, fh, fw, 3), "cubic")
+            d = mono_model.apply(mono_vars, imagenet_normalize(x))
+            return np.asarray(jax.image.resize(d, (b, h, w, 1), "bilinear"))
+
+    ds = fetch_dataset(
+        args.dataset, args.datapath, test=True, overfit=args.overfit,
+        mono=args.mono_precomputed, scale_factor=args.iscale,
+    )
+    print(f"evaluating {args.dataset}: {len(ds)} pairs")
+    ev = Evaluator(stereo_fn, mono_fn, args.dataset, iscale=1.0, oscale=args.oscale)
+    t0 = time.time()
+    res = ev.run(ds, max_samples=args.max_samples)
+    dt = time.time() - t0
+    means = res.mean()
+    print(json.dumps({k: round(v, 4) for k, v in means.items()}, indent=2))
+    print(f"({len(res.per_sample)} samples in {dt:.1f}s)")
+    if args.csv:
+        res.to_csv(args.csv, {"dataset": args.dataset, "iters": args.iters})
+
+
+def cmd_train(args):
+    import numpy as np
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig, TrainConfig
+    from stereoanywhere_tpu.data import fetch_dataset
+    from stereoanywhere_tpu.data.augmentor import DisparityAugmentor
+    from stereoanywhere_tpu.parallel.mesh import make_mesh
+    from stereoanywhere_tpu.train.trainer import Trainer
+
+    tc = TrainConfig(
+        lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
+        crop_h=args.crop_h, crop_w=args.crop_w, train_iters=args.iters,
+    )
+    aug = DisparityAugmentor(crop_size=(tc.crop_h, tc.crop_w), seed=tc.seed)
+    ds = fetch_dataset(args.dataset, args.datapath, test=False, mono=args.mono_precomputed, augmentor=aug)
+    steps_per_epoch = max(len(ds) // tc.batch_size, 1)
+    total = steps_per_epoch * tc.epochs
+
+    mesh = make_mesh(data=args.data_parallel) if args.data_parallel > 1 else None
+    trainer = Trainer(
+        StereoAnywhereConfig(compute_dtype=args.dtype), tc, total,
+        mesh=mesh, checkpoint_dir=args.savedir, sample_shape=(tc.crop_h, tc.crop_w),
+    )
+    if args.resume:
+        trainer.restore(args.resume)
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(tc.seed)
+    order = rng.permutation(len(ds))
+    step = int(trainer.state.step)
+    print(f"training: {len(ds)} pairs, {total} steps, starting at {step}")
+    t0 = time.time()
+    while step < total and not trainer.stop_requested:
+        idx = [int(order[(step * tc.batch_size + i) % len(ds)]) for i in range(tc.batch_size)]
+        samples = [ds[i] for i in idx]
+        batch = {
+            "im2_aug": np.stack([s["im2_aug"] for s in samples]),
+            "im3_aug": np.stack([s["im3_aug"] for s in samples]),
+            "mono2": np.stack([s.get("im2_mono", s["gt"] * 0) for s in samples]),
+            "mono3": np.stack([s.get("im3_mono", s["gt_right"] * 0) for s in samples]),
+            "gt": np.stack([s["gt"] for s in samples]),
+            "validgt": np.stack([s["validgt"] for s in samples]),
+            "gt_right": np.stack([s["gt_right"] for s in samples]),
+            "validgt_right": np.stack([s["validgt_right"] for s in samples]),
+        }
+        logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
+        step += 1
+        if step % args.log_every == 0:
+            print(
+                f"step {step}/{total} loss {float(logs['loss/total']):.4f} "
+                f"epe {float(logs['epe/final']):.3f} ({(time.time()-t0)/args.log_every:.2f}s/step)"
+            )
+            t0 = time.time()
+        if args.savedir and step % args.save_every == 0:
+            trainer.save("latest")
+    if args.savedir:
+        trainer.save("stopped" if trainer.stop_requested else "final")
+
+
+def cmd_precompute_mono(args):
+    """Offline DAv2 preprocessing (reference mono_sceneflow.py:85-106):
+    writes 16-bit normalized mono PNGs next to the images in `left_DAv2/`
+    style directories."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stereoanywhere_tpu.data import fetch_dataset
+    from stereoanywhere_tpu.data.frame_utils import write_mono16
+    from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
+
+    mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+    assert mono_model is not None, "--mono-checkpoint required"
+    ds = fetch_dataset(args.dataset, args.datapath, test=True)
+    tag = f"DAv2_{args.mono_encoder}" if args.mono_encoder != "vitl" else "DAv2"
+    for i in range(len(ds)):
+        s = ds[i]
+        for key, img in (("im2", s["im2"]), ("im3", s["im3"])):
+            h, w, _ = img.shape
+            fh, fw = dav2_input_size(h, w)
+            x = jax.image.resize(jnp.asarray(img[None]), (1, fh, fw, 3), "cubic")
+            d = mono_model.apply(mono_vars, imagenet_normalize(x))
+            d = np.asarray(jax.image.resize(d, (1, h, w, 1), "bilinear"))[0, ..., 0]
+            d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
+            out = os.path.join(args.outdir, f"{i:06d}_{key}_{tag}.png")
+            os.makedirs(args.outdir, exist_ok=True)
+            write_mono16(out, d)
+        if i % 50 == 0:
+            print(f"{i}/{len(ds)}")
+
+
+def cmd_serve(args):
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline, serve_http
+
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    _, variables = _load_stereo(args.checkpoint, cfg)
+    mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+    pipe = StereoAnywherePipeline(variables, mono_vars, cfg, iters=args.iters)
+    print(f"serving on :{args.port}")
+    serve_http(pipe, port=args.port)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stereoanywhere_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--mono-checkpoint", default=None)
+        sp.add_argument("--mono-encoder", default="vitl")
+        sp.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+        sp.add_argument("--iters", type=int, default=32)
+
+    pe = sub.add_parser("eval")
+    common(pe)
+    pe.add_argument("--dataset", required=True)
+    pe.add_argument("--datapath", required=True)
+    pe.add_argument("--iscale", type=float, default=1.0)
+    pe.add_argument("--oscale", type=float, default=1.0)
+    pe.add_argument("--overfit", action="store_true")
+    pe.add_argument("--max-samples", type=int, default=None)
+    pe.add_argument("--mono-precomputed", default=None)
+    pe.add_argument("--csv", default=None)
+    pe.set_defaults(fn=cmd_eval)
+
+    pt = sub.add_parser("train")
+    common(pt)
+    pt.add_argument("--dataset", default="sceneflow")
+    pt.add_argument("--datapath", required=True)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--batch-size", type=int, default=2)
+    pt.add_argument("--epochs", type=int, default=3)
+    pt.add_argument("--crop-h", type=int, default=320)
+    pt.add_argument("--crop-w", type=int, default=640)
+    pt.add_argument("--data-parallel", type=int, default=1)
+    pt.add_argument("--savedir", default=None)
+    pt.add_argument("--resume", default=None)
+    pt.add_argument("--log-every", type=int, default=20)
+    pt.add_argument("--save-every", type=int, default=500)
+    pt.add_argument("--mono-precomputed", default=None)
+    pt.set_defaults(fn=cmd_train, iters=12)
+
+    pm = sub.add_parser("precompute-mono")
+    common(pm)
+    pm.add_argument("--dataset", required=True)
+    pm.add_argument("--datapath", required=True)
+    pm.add_argument("--outdir", required=True)
+    pm.set_defaults(fn=cmd_precompute_mono)
+
+    ps = sub.add_parser("serve")
+    common(ps)
+    ps.add_argument("--port", type=int, default=8008)
+    ps.set_defaults(fn=cmd_serve)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,8 +122,11 @@ class StereoAnywhere(nn.Module):
         fmaps = FeatureEncoder(cfg.fnet_dim, name="fnet")(
             jnp.concatenate([image2, image3], axis=0).astype(cdt), train=train
         )
-        fmap2 = fmaps[:b].astype(jnp.float32)
-        fmap3 = fmaps[b:].astype(jnp.float32)
+        # f32 volumes for exact reference parity; bf16 end-to-end in mixed
+        # precision (the reference's `.float()` at stereoanywhere.py:126 is a
+        # CUDA-autocast artifact, not a numerical requirement).
+        fmap2 = fmaps[:b].astype(cdt)
+        fmap3 = fmaps[b:].astype(cdt)
 
         # --- mono-depth feature pyramids for hourglass attention (ref :124-125)
         hv, wv = mde2_vlow.shape[1], mde2_vlow.shape[2]
@@ -138,7 +141,7 @@ class StereoAnywhere(nn.Module):
 
         # --- all-pairs volumes (ref :135-136): MXU batched matmuls ---------
         stereo_vol = all_pairs_correlation(fmap2, fmap3)  # (B,H4,W4,W4)
-        mono_vol = 1.73 * all_pairs_correlation(normals2, normals3)
+        mono_vol = (1.73 * all_pairs_correlation(normals2.astype(cdt), normals3.astype(cdt))).astype(jnp.float32)
 
         left_masks = generate_masks(mde2_low, cfg.vol_n_masks)   # (B,H4,W4,N)
         right_masks = generate_masks(mde3_low, cfg.vol_n_masks)
@@ -223,8 +226,10 @@ class StereoAnywhere(nn.Module):
                 _stereo_vol, _mono_vol, mde2_low, coarse_dispmono2_low, w_lowres
             )
 
-        stereo_pyr = build_corr_pyramid(trunc_mask * _stereo_vol, cfg.corr_levels, cfg.corr_radius)
-        mono_pyr = build_corr_pyramid(_mono_vol, cfg.corr_levels, cfg.corr_radius)
+        stereo_pyr = build_corr_pyramid(
+            (trunc_mask * _stereo_vol).astype(cdt), cfg.corr_levels, cfg.corr_radius
+        )
+        mono_pyr = build_corr_pyramid(_mono_vol.astype(cdt), cfg.corr_levels, cfg.corr_radius)
 
         # --- iterative refinement: nn.scan over RefinementStep (ref :261-294)
         coords0 = jnp.broadcast_to(

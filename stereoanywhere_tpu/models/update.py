@@ -18,9 +18,31 @@ from stereoanywhere_tpu.models.layers import Conv
 from stereoanywhere_tpu.ops.interp import interp_like, pool2x
 
 
+class _ConvParams(nn.Module):
+    """Bare conv parameters under torch-compatible paths (kernel/bias), so
+    sibling convs with a shared input can be fused into one MXU call."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        from stereoanywhere_tpu.models.layers import kaiming_normal_fan_out
+
+        k = self.kernel_size
+        kernel = self.param("kernel", kaiming_normal_fan_out(), (k, k, in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class ConvGRU(nn.Module):
     """Conv gated recurrent unit with precomputed context injections
-    (reference update.py:46-62)."""
+    (reference update.py:46-62).
+
+    TPU note: the z and r gates read the same [h, x] input, so their convs
+    are fused into a single conv with concatenated output channels — one
+    pass over hx, identical per-channel math and parameter layout.
+    """
 
     hidden_dim: int
     kernel_size: int = 3
@@ -30,11 +52,25 @@ class ConvGRU(nn.Module):
         k, p = self.kernel_size, self.kernel_size // 2
         x = jnp.concatenate(x_list, axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = jax.nn.sigmoid(Conv(self.hidden_dim, k, 1, p, name="convz")(hx) + cz)
-        r = jax.nn.sigmoid(Conv(self.hidden_dim, k, 1, p, name="convr")(hx) + cr)
-        q = jnp.tanh(
-            Conv(self.hidden_dim, k, 1, p, name="convq")(jnp.concatenate([r * h, x], axis=-1)) + cq
-        )
+
+        kz, bz = _ConvParams(self.hidden_dim, k, name="convz")(hx.shape[-1])
+        kr, br = _ConvParams(self.hidden_dim, k, name="convr")(hx.shape[-1])
+        kq, bq = _ConvParams(self.hidden_dim, k, name="convq")(h.shape[-1] + x.shape[-1])
+
+        def conv(inp, kernel, bias):
+            y = jax.lax.conv_general_dilated(
+                inp,
+                kernel.astype(inp.dtype),
+                window_strides=(1, 1),
+                padding=((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(y.dtype)
+
+        zr = conv(hx, jnp.concatenate([kz, kr], axis=-1), jnp.concatenate([bz, br]))
+        z = jax.nn.sigmoid(zr[..., : self.hidden_dim] + cz)
+        r = jax.nn.sigmoid(zr[..., self.hidden_dim :] + cr)
+        q = jnp.tanh(conv(jnp.concatenate([r * h, x], axis=-1), kq, bq) + cq)
         return (1 - z) * h + z * q
 
 
@@ -50,8 +86,12 @@ class MotionEncoder(nn.Module):
     def __call__(self, flow, corr, corr_mono):
         convc1 = Conv(64, 1, 1, 0, name="convc1")
         convc2 = Conv(64, 3, 1, 1, name="convc2")
-        cor = jax.nn.relu(convc2(jax.nn.relu(convc1(corr))))
-        cor_mono = jax.nn.relu(convc2(jax.nn.relu(convc1(corr_mono))))
+        # The stereo and mono correlation streams share convc1/convc2 weights
+        # (reference update.py:81-85); batch them through one conv call.
+        b = corr.shape[0]
+        both = jnp.concatenate([corr, corr_mono], axis=0)
+        both = jax.nn.relu(convc2(jax.nn.relu(convc1(both))))
+        cor, cor_mono = both[:b], both[b:]
         flo = jax.nn.relu(Conv(64, 7, 1, 3, name="convf1")(flow))
         flo = jax.nn.relu(Conv(64, 3, 1, 1, name="convf2")(flo))
         out = jax.nn.relu(
@@ -179,5 +219,9 @@ class RefinementStep(nn.Module):
 
         # epipolar projection: only the x-delta is applied (ref :277)
         coords1_new = coords1 + delta_flow[..., 0:1].astype(jnp.float32)
+        # keep carry dtypes stable across iterations (params may be f32 while
+        # the carry was initialized in the compute dtype, or vice versa)
+        net = [n.astype(cdt) for n in net]
+        mask = mask.astype(cdt)
         out = (coords1_new - coords0, mask) if self.emit_outputs else 0
         return (tuple(net), coords1_new, mask), out

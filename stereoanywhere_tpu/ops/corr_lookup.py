@@ -38,14 +38,8 @@ def build_corr_pyramid(volume: jax.Array, num_levels: int = 4, radius: int = 4) 
     return CorrPyramid(levels=tuple(levels), radius=radius)
 
 
-def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
-    """Gather a (2r+1) window with linear interp and zeros padding.
-
-    level (B,H,W2,Wl); coords (B,H,W2) fractional positions in level units.
-    Returns (B,H,W2,2r+1).  Matches bilinear_sampler with align_corners=True
-    and zeros padding (reference utils/utils.py:19-35): positions outside
-    [0, Wl-1] fade linearly to 0.
-    """
+def _lookup_level_gather(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Gather formulation (reference semantics; good on CPU backends)."""
     wl = level.shape[-1]
     taps = jnp.arange(-radius, radius + 1, dtype=coords.dtype)
     pos = coords[..., None] + taps  # (B,H,W2,2r+1)
@@ -62,6 +56,40 @@ def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array
         return vals * weight * valid.astype(level.dtype)
 
     return tap(x0i, 1.0 - frac) + tap(x1i, frac)
+
+
+def _lookup_level_tent(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Tent-kernel contraction: identical math to the gather (linear interp,
+    zeros padding) expressed as a dense weighted reduction over the disparity
+    axis — no data-dependent gathers, so it maps onto the TPU's vector unit
+    instead of XLA's scalar dynamic-slice loops.
+
+    out[..., k] = sum_j level[..., j] * max(0, 1 - |j - (coords + dx_k)|)
+    """
+    wl = level.shape[-1]
+    taps = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    pos = coords.astype(jnp.float32)[..., None] + taps  # (B,H,W2,K)
+    j = jnp.arange(wl, dtype=jnp.float32)
+    # (B,H,W2,K,Wl) tent weights; the |pos - j| difference must be computed
+    # in f32 (bf16 cannot represent index deltas precisely), but the clamped
+    # weights are in [0,1] where bf16's 8-bit mantissa costs <0.4% — so the
+    # contraction itself can ride the MXU in bf16 when the level is bf16.
+    w = jnp.maximum(1.0 - jnp.abs(pos[..., None] - j), 0.0).astype(level.dtype)
+    return jnp.einsum(
+        "bhwj,bhwkj->bhwk",
+        level,
+        w,
+        preferred_element_type=jnp.float32,
+    ).astype(level.dtype)
+
+
+def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Radius-window linearly-interpolated lookup (reference utils/utils.py:19-35
+    bilinear_sampler semantics: zeros padding, positions outside [0, Wl-1]
+    fade linearly to 0).  Formulation chosen per backend."""
+    if jax.default_backend() == "cpu":
+        return _lookup_level_gather(level, coords, radius)
+    return _lookup_level_tent(level, coords, radius)
 
 
 def lookup_corr_pyramid(pyramid: CorrPyramid, coords: jax.Array) -> jax.Array:

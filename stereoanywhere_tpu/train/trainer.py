@@ -165,9 +165,10 @@ class Trainer:
         if init_variables is None:
             h, w = sample_shape
             dummy = jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 3)), jnp.zeros((1, h, w, 1)), jnp.zeros((1, h, w, 1))
-            init_variables = self.model.init(
-                jax.random.PRNGKey(train_cfg.seed), *dummy, iters=1, test_mode=True
+            init_fn = jax.jit(
+                lambda k, *a: self.model.init(k, *a, iters=1, test_mode=True)
             )
+            init_variables = init_fn(jax.random.PRNGKey(train_cfg.seed), *dummy)
         self.tx, self.schedule = make_optimizer(train_cfg, total_steps, init_variables["params"])
         self.state = TrainState.create(
             init_variables["params"], init_variables.get("batch_stats", {}), self.tx

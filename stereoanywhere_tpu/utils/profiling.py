@@ -1,0 +1,62 @@
+"""Profiling helpers for TPU runs.
+
+The reference has no systematic tracing (SURVEY §5); here:
+- `trace(path)` context manager around `jax.profiler` for perfetto traces,
+- `chained_timer` for remote runtimes where `block_until_ready` may ack
+  before device completion: chains N executions serially on-device via a
+  data dependency and syncs on one scalar fetch.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> float:
+    """Median per-call latency of `fn(*args) -> array`, measured by chaining
+    n_chain serial executions inside one jitted fori_loop.
+
+    `fn` must accept a scalar perturbation as its first argument so each
+    iteration depends on the previous result: fn(acc, *args) -> array.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(_, acc):
+            return acc + jnp.mean(fn(acc * 1e-12, *a))
+
+        return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0))
+
+    triv = jax.jit(lambda x: x + 1)
+    float(triv(jnp.float32(0)))
+    float(chained(*args))  # compile + warm
+
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(triv(jnp.float32(0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chained(*args))
+        times.append(time.perf_counter() - t0)
+    return max(float(np.median(times)) - rtt, 0.0) / n_chain
