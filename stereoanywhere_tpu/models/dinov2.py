@@ -113,6 +113,19 @@ class Mlp(nn.Module):
         return nn.Dense(d, name="fc2")(x)
 
 
+class SwiGLUFFN(nn.Module):
+    """Fused SwiGLU FFN used by ViT-giant2 (reference dinov2_layers
+    SwiGLUFFNFused): hidden = align8(dim*4 * 2/3), out = w3(silu(x1) * x2)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        hidden = (int(d * 4) * 2 // 3 + 7) // 8 * 8
+        x12 = nn.Dense(2 * hidden, name="w12")(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(d, name="w3")(jax.nn.silu(x1) * x2)
+
+
 class LayerScale(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -125,6 +138,7 @@ class Block(nn.Module):
 
     num_heads: int
     mlp_ratio: float = 4.0
+    ffn_layer: str = "mlp"  # "mlp" | "swiglufused" (vitg)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -132,8 +146,11 @@ class Block(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        x = x + LayerScale(name="ls2")(Mlp(int(d * self.mlp_ratio), name="mlp")(h))
-        return x
+        if self.ffn_layer == "swiglufused":
+            ffn = SwiGLUFFN(name="mlp")(h)
+        else:
+            ffn = Mlp(int(d * self.mlp_ratio), name="mlp")(h)
+        return x + LayerScale(name="ls2")(ffn)
 
 
 class DinoVisionTransformer(nn.Module):
@@ -148,6 +165,7 @@ class DinoVisionTransformer(nn.Module):
     patch_size: int = 14
     pos_embed_size: int = 37  # 518/14
     interpolate_offset: float = 0.1
+    ffn_layer: str = "mlp"  # "swiglufused" for vitg (reference dinov2.py:417)
 
     @nn.compact
     def __call__(self, x: jax.Array, take_layers: Sequence[int]):
@@ -178,7 +196,7 @@ class DinoVisionTransformer(nn.Module):
         final_norm = nn.LayerNorm(epsilon=1e-6, name="norm")
         outputs = []
         for i in range(self.depth):
-            x = Block(self.num_heads, name=f"blocks_{i}")(x)
+            x = Block(self.num_heads, ffn_layer=self.ffn_layer, name=f"blocks_{i}")(x)
             if i in take_layers:
                 outputs.append(x)
 

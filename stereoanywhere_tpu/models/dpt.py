@@ -120,6 +120,7 @@ class DepthAnythingV2(nn.Module):
             embed_dim=vit_cfg["embed_dim"],
             depth=vit_cfg["depth"],
             num_heads=vit_cfg["num_heads"],
+            ffn_layer="swiglufused" if self.cfg.encoder == "vitg" else "mlp",
             name="pretrained",
         )(x, INTERMEDIATE_LAYER_IDX[self.cfg.encoder])
         return DPTHead(

@@ -153,12 +153,41 @@ class StereoAnywhere(nn.Module):
             left_masks = resize_nearest(left_masks, (tgt[0], tgt[1]))
             right_masks = resize_nearest(right_masks, (tgt[0], tgt[2]))
 
+        # --- optional stereo-volume aggregation (ref :147-159; default OFF,
+        # the released checkpoint aggregates only the mono volume) ----------
+        if cfg.use_aggregate_stereo_vol:
+            masked_stereo = apply_bin_masks(
+                stereo_vol.astype(jnp.float32), left_masks, right_masks
+            ).transpose(0, 3, 1, 2, 4).astype(cdt)
+            agg_s = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_stereo")(
+                masked_stereo, fmde2, fmde3
+            )
+            agg_s = agg_s.transpose(0, 2, 3, 1, 4)
+            agg_disp_stereo = Conv3dClassifier(name="classifier_stereo")(agg_s).astype(jnp.float32)[..., 0]
+            coarse_dispstereo2_low = estimate_left_disparity(agg_disp_stereo)
+            coarse_dispstereo3_low = estimate_right_disparity(agg_disp_stereo)
+            coarse_dispstereo2 = resize_bilinear_align_corners(coarse_dispstereo2_low, (h, w)) * f
+            coarse_dispstereo3 = resize_bilinear_align_corners(coarse_dispstereo3_low, (h, w)) * f
+        else:
+            agg_disp_stereo = None
+            coarse_dispstereo2 = coarse_dispstereo3 = None
+
         # --- masked mono volume -> hourglass -> classifiers (ref :161-166) -
         masked_mono = apply_bin_masks(mono_vol, left_masks, right_masks)  # (B,H,W2,W3,N)
         masked_mono = masked_mono.transpose(0, 3, 1, 2, 4).astype(cdt)    # (B,W3,H,W2,N)
         agg = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_mono")(
             masked_mono, fmde2, fmde3
         )
+        # Additional stacked hourglasses (ref :69-72,163-164; default 0).
+        # Reference quirk kept: stack[0] is HourglassIdentity, and the loop
+        # runs range(n) over a list of length n+1, so the LAST appended
+        # hourglass is never applied — effectively (n-1) real passes.
+        for i in range(cfg.n_additional_hourglass):
+            if i == 0:
+                continue  # HourglassIdentity
+            agg = Hourglass(
+                cfg.volume_channels, cfg.volume_channels, name=f"hourglass_mono_stack_{i}"
+            )(agg, fmde2, fmde3)
         # The reference un-permutes the volume to (H,W2,W3) BEFORE the
         # classifier conv3d (reference hourglass.py:91 -> stereoanywhere.py:165),
         # so the learned 3x3x3 kernel axes correspond to (H,W2,W3); match that.
@@ -217,7 +246,7 @@ class StereoAnywhere(nn.Module):
         else:
             trunc_mask = jnp.ones_like(stereo_vol[..., :1])
 
-        _stereo_vol = stereo_vol
+        _stereo_vol = agg_disp_stereo if cfg.use_aggregate_stereo_vol else stereo_vol
         _mono_vol = agg_disp if cfg.use_aggregate_mono_vol else mono_vol
 
         # --- train-time volume-corruption augmentation (ref :214-251) ------
@@ -296,6 +325,9 @@ class StereoAnywhere(nn.Module):
         # Coarse outputs (positive disparity convention; reference returns
         # these in train mode, stereoanywhere.py:299 — we also expose them in
         # test mode for diagnostics at negligible cost).
+        if coarse_dispstereo2 is not None:
+            result["coarse_dispstereo2"] = coarse_dispstereo2
+            result["coarse_dispstereo3"] = coarse_dispstereo3
         result.update(
             coarse_dispmono2=coarse_dispmono2,
             coarse_dispmono3=coarse_dispmono3,

@@ -112,6 +112,62 @@ class UpdateHead(nn.Module):
         return Conv(self.output_dim, 3, 1, 1, name="conv2")(x)
 
 
+class SigmoidUpdateHead(nn.Module):
+    """conv-relu-conv-sigmoid head (reference update.py:16-24; used by the
+    confidence-predicting variants, off in the shipped model)."""
+
+    hidden_dim: int = 256
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(Conv(self.hidden_dim, 3, 1, 1, name="conv1")(x))
+        return jax.nn.sigmoid(Conv(self.output_dim, 3, 1, 1, name="conv2")(x))
+
+
+class ScaleShiftUpdateHead(nn.Module):
+    """Global scale/shift regression head via max-pool + MLP
+    (reference update.py:26-44)."""
+
+    hidden_dim: int = 256
+    output_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        b = x.shape[0]
+        h = Conv(self.hidden_dim, 3, 1, 1, name="conv1")(x)
+        h = Conv(self.hidden_dim, 3, 1, 1, name="conv2")(jax.nn.relu(h))
+        pooled = jnp.max(h, axis=(1, 2))  # AdaptiveMaxPool2d((1,1)) + flatten
+        z = jax.nn.relu(nn.Dense(self.hidden_dim, name="scaler_2")(pooled))
+        z = nn.Dense(self.output_dim, name="scaler_4")(z)
+        return z.reshape(b, 1, 1, self.output_dim)
+
+
+class ConfidenceAwareMotionEncoder(nn.Module):
+    """Motion encoder with an extra flow-confidence stream
+    (reference BasicConfidenceAwareMotionEncoder, update.py:92-122;
+    present-but-unused in the shipped model, predict_confidence=False)."""
+
+    @nn.compact
+    def __call__(self, flow, flow_conf, corr, corr_mono):
+        convc1 = Conv(64, 1, 1, 0, name="convc1")
+        convc2 = Conv(64, 3, 1, 1, name="convc2")
+        b = corr.shape[0]
+        both = jnp.concatenate([corr, corr_mono], axis=0)
+        both = jax.nn.relu(convc2(jax.nn.relu(convc1(both))))
+        cor, cor_mono = both[:b], both[b:]
+        flo = jax.nn.relu(Conv(64, 7, 1, 3, name="convf1")(flow))
+        flo = jax.nn.relu(Conv(64, 3, 1, 1, name="convf2")(flo))
+        cfl = jax.nn.relu(Conv(64, 7, 1, 3, name="convcf1")(flow_conf))
+        cfl = jax.nn.relu(Conv(64, 3, 1, 1, name="convcf2")(cfl))
+        out = jax.nn.relu(
+            Conv(125, 3, 1, 1, name="_conv_with_conf")(
+                jnp.concatenate([cor, cor_mono, flo, cfl], axis=-1)
+            )
+        )
+        return jnp.concatenate([out, flow, flow_conf], axis=-1)
+
+
 class MultiUpdateBlock(nn.Module):
     """3-level GRU cascade with cross-scale pooling/interp
     (reference BasicMultiUpdateBlock, update.py:134-197).

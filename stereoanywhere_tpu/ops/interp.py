@@ -31,17 +31,22 @@ def _axis_lerp_weights(in_size: int, out_size: int, dtype=jnp.float32):
     return x0, x1, w
 
 
+def _interp_matrix(in_size: int, out_size: int) -> jax.Array:
+    """(out,in) align-corners linear interpolation matrix (constant)."""
+    x0, x1, w = _axis_lerp_weights(in_size, out_size, jnp.float32)
+    eye = jnp.eye(in_size, dtype=jnp.float32)
+    return eye[x0] * (1.0 - w)[:, None] + eye[x1] * w[:, None]
+
+
 def _resize_axis_align_corners(x: jax.Array, axis: int, out_size: int) -> jax.Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    x0, x1, w = _axis_lerp_weights(in_size, out_size, jnp.float32)
-    a = jnp.take(x, x0, axis=axis)
-    b = jnp.take(x, x1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w = w.reshape(shape).astype(x.dtype)
-    return a * (1 - w) + b * w
+    # Matmul with a constant interpolation matrix: identical math to
+    # gather+lerp, but rides the MXU instead of XLA's TPU gather lowering.
+    m = _interp_matrix(in_size, out_size).astype(x.dtype)
+    y = jnp.tensordot(x, m, axes=[[axis], [1]])  # contracted axis moves to end
+    return jnp.moveaxis(y, -1, axis)
 
 
 def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

@@ -42,13 +42,19 @@ class StereoAnywherePipeline:
         mono_cfg: MonoConfig = MonoConfig(),
         iters: int = 32,
         mono_size: tuple[int, int] = (518, 518),
+        two_stage: bool = False,
     ):
+        """`two_stage=True` runs mono and stereo as separate jitted programs
+        with a host round-trip between them — the memory-saving analog of the
+        reference's CPUOffloadWrapper (reference cpu_offload_wrapper.py:13-83):
+        peak HBM holds only one branch's activations at a time."""
         self.stereo = StereoAnywhere(stereo_cfg)
         self.mono = DepthAnythingV2(mono_cfg) if mono_variables is not None else None
         self.stereo_variables = stereo_variables
         self.mono_variables = mono_variables
         self.iters = iters
         self.mono_size = mono_size
+        self.two_stage = two_stage
         self._cache: dict = {}
 
     def _build(self, h: int, w: int) -> Callable:
@@ -85,8 +91,50 @@ class StereoAnywherePipeline:
         self._cache[key] = run
         return run
 
+    def _build_two_stage(self, h: int, w: int):
+        key = ("2s", h, w)
+        if key in self._cache:
+            return self._cache[key]
+        t, b, l, r = _pad_sizes(h, w)
+        fh, fw = dav2_input_size(h, w, self.mono_size[0], self.mono_size[1]) if self.mono else (h, w)
+
+        @jax.jit
+        def mono_stage(mono_vars, im2, im3):
+            both = jnp.concatenate([im2, im3], axis=0)
+            x = jax.image.resize(both, (2, fh, fw, 3), "cubic")
+            depth = self.mono.apply(mono_vars, imagenet_normalize(x))
+            return jax.image.resize(depth, (2, h, w, 1), "bilinear")
+
+        @jax.jit
+        def stereo_stage(stereo_vars, im2, im3, mde2, mde3):
+            mde2, mde3 = joint_minmax_normalize([mde2, mde3])
+            pad = ((0, 0), (t, b), (l, r), (0, 0))
+            out = self.stereo.apply(
+                stereo_vars,
+                jnp.pad(im2, pad, mode="edge"),
+                jnp.pad(im3, pad, mode="edge"),
+                jnp.pad(mde2, pad, mode="edge"),
+                jnp.pad(mde3, pad, mode="edge"),
+                iters=self.iters,
+                test_mode=True,
+            )
+            return out["disparity"][:, t : t + h, l : l + w]
+
+        self._cache[key] = (mono_stage, stereo_stage)
+        return self._cache[key]
+
     def __call__(self, im2, im3, mde2=None, mde3=None):
         h, w = im2.shape[1:3]
+        if self.two_stage and self.mono is not None and mde2 is None:
+            import numpy as _np
+
+            mono_stage, stereo_stage = self._build_two_stage(h, w)
+            # host round-trip between stages bounds peak HBM to one branch
+            depth = _np.asarray(mono_stage(self.mono_variables, im2, im3))
+            return stereo_stage(
+                self.stereo_variables, im2, im3,
+                jnp.asarray(depth[:1]), jnp.asarray(depth[1:]),
+            )
         if mde2 is None:
             zero = jnp.zeros((im2.shape[0], h, w, 1), jnp.float32)
             mde2 = mde3 = zero

@@ -1,0 +1,117 @@
+"""Tests for auxiliary components: loss extras, warps, SGM, dcn, logging."""
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+
+def test_ssim_matches_definition(rng):
+    from stereoanywhere_tpu.train.loss_extras import ssim
+
+    x = rng.uniform(0, 1, (1, 12, 12, 3)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.05, x.shape).astype(np.float32), 0, 1)
+    d_same = float(np.mean(np.asarray(ssim(jnp.asarray(x), jnp.asarray(x)))))
+    d_noisy = float(np.mean(np.asarray(ssim(jnp.asarray(x), jnp.asarray(y)))))
+    assert d_same < 1e-5
+    assert d_noisy > d_same
+
+
+def test_silog_and_affine_losses(rng):
+    from stereoanywhere_tpu.train.loss_extras import affine_invariant_mae, silog_loss
+
+    gt = rng.uniform(0.5, 5, (1, 8, 8, 1)).astype(np.float32)
+    valid = np.ones_like(gt)
+    # perfect prediction -> 0
+    assert float(silog_loss(jnp.asarray(gt), jnp.asarray(gt), jnp.asarray(valid))) < 1e-4
+    # affine-invariant: scale+shift of gt -> ~0
+    pred = 3 * gt + 1
+    v = float(affine_invariant_mae(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(valid)))
+    assert v < 1e-5
+
+
+def test_ransac_scale_shift(rng):
+    from stereoanywhere_tpu.train.loss_extras import ransac_scale_shift
+
+    mde = rng.uniform(0, 1, (40, 50)).astype(np.float32)
+    disp = 25 * mde + 3
+    # 20% outliers
+    mask = rng.uniform(size=disp.shape) < 0.2
+    disp[mask] += rng.uniform(20, 60, mask.sum())
+    s, t = ransac_scale_shift(mde, disp, np.ones_like(disp), iters=200)
+    assert abs(s - 25) < 1.0 and abs(t - 3) < 1.0
+
+
+def test_fast_warps(rng):
+    from stereoanywhere_tpu.data.warps import fast_warp_disparity, interpolate_background
+
+    # constant-disparity plane warps to a shifted plane
+    disp = np.full((6, 20), 4.0, np.float32)
+    warped = fast_warp_disparity(disp)
+    assert (warped[:, : 20 - 4] == 4.0).all()
+    assert (warped[:, 20 - 4 :] == 0).all()
+
+    holes = disp.copy()
+    holes[:, 5:9] = 0
+    filled = interpolate_background(holes)
+    assert (filled > 0).all()
+
+
+def test_sgm_constant_shift():
+    from stereoanywhere_tpu.ops.sgm import sgm_disparity
+
+    rng = np.random.default_rng(0)
+    w, d_true = 48, 5
+    tex = rng.uniform(0, 1, (24, w + d_true)).astype(np.float32)
+    # left[x] corresponds to right[x - d]: right is the texture shifted left
+    left = tex[:, :w]
+    right = tex[:, d_true : d_true + w]
+    disp = np.asarray(sgm_disparity(jnp.asarray(left[None]), jnp.asarray(right[None]), max_disp=16))
+    interior = disp[0, 4:-4, d_true + 4 : -4]
+    frac_correct = float((np.abs(interior - d_true) <= 1).mean())
+    assert frac_correct > 0.9, f"SGM only {frac_correct:.2%} correct"
+
+
+def test_deformable_conv_zero_offsets_is_regular_conv(rng):
+    from stereoanywhere_tpu.models.dcn import DeformableConv2d
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 4)).astype(np.float32))
+    m = DeformableConv2d(6)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    # offset conv init zeros -> modulation sigmoid(0)*2 = 1, offsets 0 ->
+    # must equal a plain 3x3 conv with the same kernel
+    k = v["params"]["kernel"]
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_metric_logger(tmp_path):
+    from stereoanywhere_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path))
+    lg.log(1, {"loss": 0.5, "skipme": "str"})
+    lg.log(2, {"loss": 0.25})
+    lg.close()
+    lines = open(os.path.join(tmp_path, "metrics.jsonl")).read().strip().splitlines()
+    assert len(lines) == 2 and '"loss": 0.25' in lines[1]
+
+
+def test_otsu_bimodal():
+    from stereoanywhere_tpu.parallel.non_lambertian import otsu_threshold
+
+    rng = np.random.default_rng(0)
+    a = np.clip(rng.normal(0.2, 0.03, 5000), 0, 1)
+    b = np.clip(rng.normal(0.8, 0.03, 5000), 0, 1)
+    th = otsu_threshold(np.concatenate([a, b]))
+    # Otsu's between-class variance is flat on the inter-mode plateau; any
+    # threshold that separates the modes is a valid argmax (cv2 also returns
+    # a plateau edge).  Require separation quality, not a specific value.
+    sep = ((a < th).mean() + (b > th).mean()) / 2
+    assert sep > 0.97, (th, sep)
