@@ -63,11 +63,18 @@ def freeze_mask(params, things_to_freeze: tuple[str, ...]):
 
 
 def make_optimizer(cfg: TrainConfig, total_steps: int, params):
-    sched = optax.linear_onecycle_schedule(
-        transition_steps=total_steps + 100,
-        peak_value=cfg.lr,
-        pct_start=cfg.pct_start,
-        pct_final=1.0,
+    # Explicit OneCycle (linear anneal, torch defaults div=25/final_div=1e4):
+    # optax.linear_onecycle_schedule produces NaN when a boundary interval
+    # rounds to zero length (small step counts), so build it from pieces with
+    # a guaranteed >=1-step warmup.
+    total = max(total_steps, 2)
+    warmup = max(int(total * cfg.pct_start), 1)
+    sched = optax.join_schedules(
+        [
+            optax.linear_schedule(cfg.lr / 25.0, cfg.lr, warmup),
+            optax.linear_schedule(cfg.lr, cfg.lr / 1e4, max(total - warmup, 1)),
+        ],
+        [warmup],
     )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
@@ -191,6 +198,48 @@ class Trainer:
     @property
     def stop_requested(self) -> bool:
         return self._stop_requested
+
+    # -- validation ------------------------------------------------------
+    def validate(
+        self,
+        samples,
+        iters: int = 32,
+        metric: str = "bad 2.0",
+        save_best_tag: str = "best",
+    ) -> dict:
+        """Periodic validation with best-checkpoint selection by a
+        configurable metric (reference train.py:583-639 val loop).
+
+        `samples`: iterable of dataset sample dicts with im2/im3, mono pair
+        (im2_mono/im3_mono) and gt/validgt.  Returns mean metrics; saves
+        `best` checkpoint when `metric` improves.
+        """
+        import numpy as np
+
+        from stereoanywhere_tpu.eval.harness import Evaluator
+
+        variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        fwd = jax.jit(
+            lambda im2, im3, m2, m3: self.model.apply(
+                variables, im2, im3, m2, m3, iters=iters, test_mode=True
+            )["disparity"]
+        )
+
+        def stereo_fn(im2, im3, m2, m3):
+            return fwd(*(jnp.asarray(x) for x in (im2, im3, m2, m3)))
+
+        ev = Evaluator(stereo_fn, mono_fn=None)
+        res = ev.run(samples)
+        means = res.mean()
+        score = means.get(metric, float("nan"))
+        if not hasattr(self, "_best_val"):
+            self._best_val = float("inf")
+        if np.isfinite(score) and score < self._best_val:
+            self._best_val = score
+            if self.checkpoint_dir:
+                self.save(save_best_tag)
+        means["is_best"] = float(score <= self._best_val)
+        return means
 
     # -- checkpointing ---------------------------------------------------
     def _install_signal_handlers(self):

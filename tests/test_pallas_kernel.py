@@ -1,0 +1,24 @@
+"""Pallas fused dual-lookup kernel vs the reference-semantics XLA lookup
+(interpret mode on CPU)."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from stereoanywhere_tpu.ops import build_corr_pyramid, lookup_corr_pyramid
+from stereoanywhere_tpu.ops.pallas.corr_kernel import dual_lookup_pallas
+
+
+def test_dual_lookup_matches_xla(rng):
+    b, h, w2, w3 = 1, 8, 16, 32
+    svol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+    mvol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-2, w3 + 2, (b, h, w2)).astype(np.float32))
+
+    spyr = build_corr_pyramid(svol, 4, 4)
+    mpyr = build_corr_pyramid(mvol, 4, 4)
+    ref_s = np.asarray(lookup_corr_pyramid(spyr, coords))
+    ref_m = np.asarray(lookup_corr_pyramid(mpyr, coords))
+
+    got_s, got_m = dual_lookup_pallas(spyr.levels, mpyr.levels, coords, radius=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_m), ref_m, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,85 @@
+"""Trainer integration: step, freeze mask, checkpoint save/restore."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stereoanywhere_tpu.config import StereoAnywhereConfig, TrainConfig
+from stereoanywhere_tpu.train.trainer import Trainer, freeze_mask
+
+
+def _batch(rng, b=1, h=32, w=64):
+    return {
+        "im2_aug": jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)),
+        "im3_aug": jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)),
+        "mono2": jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32)),
+        "mono3": jnp.asarray(rng.uniform(0, 1, (b, h, w, 1)).astype(np.float32)),
+        "gt": jnp.asarray(rng.uniform(0, 16, (b, h, w, 1)).astype(np.float32)),
+        "validgt": jnp.ones((b, h, w, 1), jnp.float32),
+        "gt_right": jnp.zeros((b, h, w, 1), jnp.float32),
+        "validgt_right": jnp.zeros((b, h, w, 1), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    ckdir = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = TrainConfig(train_iters=1, batch_size=1, things_to_freeze=("fnet",))
+    return Trainer(
+        StereoAnywhereConfig(volume_corruption_prob=0.0),
+        cfg,
+        total_steps=10,
+        checkpoint_dir=ckdir,
+        sample_shape=(32, 64),
+    )
+
+
+def test_train_step_and_freeze(trainer, rng):
+    fnet_before = jax.tree.map(lambda x: np.asarray(x), trainer.state.params["fnet"])
+    cnet_kernel_before = np.asarray(
+        trainer.state.params["cnet"]["conv1"]["kernel"]
+    )
+
+    logs = trainer.step(_batch(rng))
+    assert np.isfinite(float(logs["loss/total"]))
+    assert int(trainer.state.step) == 1
+    logs2 = trainer.step(_batch(rng))
+    assert np.isfinite(float(logs2["loss/total"]))
+
+    # fnet frozen (reference run_train.sh --things_to_freeze fnet)
+    fnet_after = trainer.state.params["fnet"]
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        fnet_before,
+        fnet_after,
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0, "frozen fnet moved"
+    # cnet trained
+    assert np.abs(np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"]) - cnet_kernel_before).max() > 0
+
+
+def test_checkpoint_roundtrip(trainer, rng):
+    step_before = int(trainer.state.step)
+    ref_kernel = np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"])
+    trainer.save("unit")
+    trainer.step(_batch(rng))  # mutate
+    trainer.restore("unit")
+    assert int(trainer.state.step) == step_before
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"]), ref_kernel
+    )
+
+
+def test_freeze_mask_groups():
+    params = {
+        "fnet": {"conv1": {"kernel": np.zeros(1)}},
+        "cnet": {"conv1": {"kernel": np.zeros(1)}},
+        "hourglass_mono": {"x": np.zeros(1)},
+        "update_block": {"x": np.zeros(1)},
+    }
+    m = freeze_mask(params, ("fnet", "monoagg"))
+    assert m["fnet"]["conv1"]["kernel"] is False
+    assert m["cnet"]["conv1"]["kernel"] is True
+    assert m["hourglass_mono"]["x"] is False
+    assert m["update_block"]["x"] is True
