@@ -1,0 +1,88 @@
+"""End-to-end HTTP serving round trip: server thread + client."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_http_server_roundtrip(rng):
+    from http.server import HTTPServer
+
+    from stereoanywhere_tpu.serve.client import infer_remote
+
+    # A stub pipeline (identity-ish) keeps the test fast; the real pipeline's
+    # model path is covered by the model/golden tests.
+    class StubPipeline:
+        def __call__(self, im2, im3, mde2=None, mde3=None):
+            return jnp.mean(im2, axis=-1, keepdims=True) * 16.0
+
+    import stereoanywhere_tpu.serve.pipeline as sp
+
+    # build the handler with the stub, bind an ephemeral port
+    server_holder = {}
+
+    def run():
+        import io
+        import json
+        from http.server import BaseHTTPRequestHandler
+
+        pipeline = StubPipeline()
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                length = int(self.headers["Content-Length"])
+                meta_len = int(self.headers.get("X-Meta-Length", 0))
+                raw = self.rfile.read(length)
+                meta = json.loads(raw[:meta_len])
+                h, w = meta["h"], meta["w"]
+                arr = np.frombuffer(raw[meta_len:], np.float32).reshape(2, h, w, 3)
+                disp = np.asarray(pipeline(jnp.asarray(arr[:1]), jnp.asarray(arr[1:])))
+                out = np.clip(disp[0, ..., 0] * 256.0, 0, 65535).astype(np.uint16).tobytes()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            def log_message(self, *a):
+                pass
+
+        srv = HTTPServer(("127.0.0.1", 0), Handler)
+        server_holder["srv"] = srv
+        srv.serve_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(50):
+        if "srv" in server_holder:
+            break
+        time.sleep(0.05)
+    port = server_holder["srv"].server_address[1]
+
+    im2 = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+    im3 = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+    disp = infer_remote(f"http://127.0.0.1:{port}", im2, im3)
+    server_holder["srv"].shutdown()
+
+    assert disp.shape == (24, 32)
+    np.testing.assert_allclose(disp, im2.mean(-1) * 16.0, atol=1 / 128)
+
+
+def test_vol_downsample_config(rng):
+    """vol_downsample>0 trilinear path compiles and produces sane output."""
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    model = StereoAnywhere(StereoAnywhereConfig(vol_downsample=1))
+    args = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, 64, 64, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+    )
+    v = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), *args
+    )
+    out = model.apply(v, *args, iters=1, test_mode=True)
+    d = np.asarray(out["disparity"])
+    assert d.shape == (1, 64, 64, 1) and np.isfinite(d).all()
