@@ -146,38 +146,54 @@ def _stereo_rename(name: str) -> tuple[list[str], str] | None:
         return [m.group(1), "conv", "kernel"], "conv3d"
 
     # hourglass ----------------------------------------------------------
+    # stacked variants: hourglass_mono_stack.N.* / hourglass_stereo_stack.N.*
+    # (index 0 is HourglassIdentity with no params)
+    m = re.match(r"(hourglass_mono|hourglass_stereo)_stack\.(\d+)\.(.*)", name)
+    if m:
+        root = f"{m.group(1)}_stack_{m.group(2)}"
+        return _hourglass_body(root, m.group(3).split("."))
+
     m = re.match(r"(hourglass_mono|hourglass_stereo)\.(.*)", name)
     if m:
         root, rest = m.group(1), m.group(2)
         r = rest.split(".")
-        if r[0] in ("down_layers", "agg_layers", "final_agg"):
-            if r[0] == "final_agg":
-                base = [root, f"final_agg_{r[1]}"]
-                conv_i = 2
-            else:
-                base = [root, f"{r[0]}_{r[1]}_{r[2]}"]
-                conv_i = 3
-            # BasicConv: conv.weight (Conv3d, no bias); norm has no params (instance)
-            if r[conv_i] == "conv" and r[conv_i + 1] == "weight":
-                return base + ["conv", "kernel"], "conv3d"
-            return None  # instance norm: no params
-        if r[0] in ("feature_atts", "feature_atts_up", "final_feature_atts_up"):
-            if r[0] == "final_feature_atts_up":
-                base = [root, "final_feature_atts_up"]
-                r2 = r[1:]
-            else:
-                base = [root, f"{r[0]}_{r[1]}"]
-                r2 = r[2:]
-            # feat_att_left.0.conv.weight (BasicConv 2d) | feat_att_left.1.{weight,bias} (Conv2d)
-            side = r2[0]  # feat_att_left / feat_att_right
-            if r2[1] == "0" and r2[2] == "conv":
-                return base + [f"{side}_0", "conv", "kernel"], "conv2d"
-            if r2[1] == "1":
-                return base + [f"{side}_1", {"weight": "kernel", "bias": "bias"}[r2[2]]], (
-                    "conv2d" if r2[2] == "weight" else "bias"
-                )
-            return None
+        return _hourglass_body(root, r)
 
+    return _stereo_rename_tail(name)
+
+
+def _hourglass_body(root: str, r: list[str]):
+    if r[0] in ("down_layers", "agg_layers", "final_agg"):
+        if r[0] == "final_agg":
+            base = [root, f"final_agg_{r[1]}"]
+            conv_i = 2
+        else:
+            base = [root, f"{r[0]}_{r[1]}_{r[2]}"]
+            conv_i = 3
+        # BasicConv: conv.weight (Conv3d, no bias); norm has no params (instance)
+        if r[conv_i] == "conv" and r[conv_i + 1] == "weight":
+            return base + ["conv", "kernel"], "conv3d"
+        return None  # instance norm: no params
+    if r[0] in ("feature_atts", "feature_atts_up", "final_feature_atts_up"):
+        if r[0] == "final_feature_atts_up":
+            base = [root, "final_feature_atts_up"]
+            r2 = r[1:]
+        else:
+            base = [root, f"{r[0]}_{r[1]}"]
+            r2 = r[2:]
+        # feat_att_left.0.conv.weight (BasicConv 2d) | feat_att_left.1.{weight,bias} (Conv2d)
+        side = r2[0]  # feat_att_left / feat_att_right
+        if r2[1] == "0" and r2[2] == "conv":
+            return base + [f"{side}_0", "conv", "kernel"], "conv2d"
+        if r2[1] == "1":
+            return base + [f"{side}_1", {"weight": "kernel", "bias": "bias"}[r2[2]]], (
+                "conv2d" if r2[2] == "weight" else "bias"
+            )
+        return None
+    return None
+
+
+def _stereo_rename_tail(name: str):
     # update block -------------------------------------------------------
     m = re.match(r"update_block\.(.*)", name)
     if m:

@@ -40,11 +40,18 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     """Per-sample, per-channel normalization over spatial dims (no affine).
 
     Works for NHWC (rank 4) and NDHWC (rank 5).
+
+    Statistics accumulate in f32 (fused into the reduction), but the
+    normalization itself is applied in the INPUT dtype: promoting the
+    arithmetic materializes a full-resolution f32 copy of the activation
+    (measured: 136 MB per norm at 512x512 in the feature encoder).
     """
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    var = mean_sq - jnp.square(mean)
+    inv = (jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return (x - mean.astype(x.dtype)) * inv
 
 
 class BatchNorm(nn.Module):
@@ -69,13 +76,14 @@ class BatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        return (x - mean) * inv + bias
+        # apply in the input dtype (avoid materializing f32 activations)
+        inv = (jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)).astype(x.dtype) * scale.astype(x.dtype)
+        return (x - mean.astype(x.dtype)) * inv + bias.astype(x.dtype)
 
 
 class GroupNorm(nn.Module):

@@ -83,13 +83,38 @@ def _lookup_level_tent(level: jax.Array, coords: jax.Array, radius: int) -> jax.
     ).astype(level.dtype)
 
 
+def _lookup_level_lagged(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
+    """Lagged-product formulation: all (2r+1) taps share ONE tent array.
+
+    tent(j - (pos + dx_k)) = g[(j - dx_k)] with g[m] = tent(m - pos), so each
+    tap is an elementwise product of `level` with a STATICALLY-shifted slice
+    of g, reduced over the disparity axis.  Exactly the gather/tent math, but
+    HBM traffic is one g array instead of K materialized weight tensors
+    (measured: the K-wide einsum materialized 75 MB f32 per level per
+    iteration inside the GRU loop).
+    """
+    wl = level.shape[-1]
+    pos = coords.astype(jnp.float32)[..., None]  # (B,H,W2,1)
+    # extended support m in [-(r+1), wl + r]
+    m = jnp.arange(-(radius + 1), wl + radius + 1, dtype=jnp.float32)
+    g = jnp.maximum(1.0 - jnp.abs(m - pos), 0.0).astype(level.dtype)  # (B,H,W2,wl+2r+2)
+
+    outs = []
+    for t in range(-radius, radius + 1):
+        # g index for level column j is (j - t) + (r+1): a static slice
+        start = radius + 1 - t
+        g_slice = jax.lax.slice_in_dim(g, start, start + wl, axis=-1)
+        outs.append(jnp.sum(level * g_slice, axis=-1, dtype=jnp.float32))
+    return jnp.stack(outs, axis=-1).astype(level.dtype)
+
+
 def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array:
     """Radius-window linearly-interpolated lookup (reference utils/utils.py:19-35
     bilinear_sampler semantics: zeros padding, positions outside [0, Wl-1]
     fade linearly to 0).  Formulation chosen per backend."""
     if jax.default_backend() == "cpu":
         return _lookup_level_gather(level, coords, radius)
-    return _lookup_level_tent(level, coords, radius)
+    return _lookup_level_lagged(level, coords, radius)
 
 
 def lookup_corr_pyramid(pyramid: CorrPyramid, coords: jax.Array) -> jax.Array:

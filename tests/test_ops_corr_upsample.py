@@ -46,14 +46,21 @@ def test_corr_pyramid_lookup_matches_reference(rng):
 
 
 def test_tent_lookup_equals_gather(rng):
-    """The TPU tent-contraction formulation must match the gather exactly."""
-    from stereoanywhere_tpu.ops.corr_lookup import _lookup_level_gather, _lookup_level_tent
+    """Both TPU formulations (tent einsum, lagged product) must match the
+    gather exactly."""
+    from stereoanywhere_tpu.ops.corr_lookup import (
+        _lookup_level_gather,
+        _lookup_level_lagged,
+        _lookup_level_tent,
+    )
 
     level = jnp.asarray(rng.standard_normal((2, 3, 8, 32)).astype(np.float32))
     coords = jnp.asarray(rng.uniform(-3, 35, (2, 3, 8)).astype(np.float32))
     a = np.asarray(_lookup_level_gather(level, coords, 4))
     b = np.asarray(_lookup_level_tent(level, coords, 4))
+    c = np.asarray(_lookup_level_lagged(level, coords, 4))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
 
 def torch_convex_upflow(flow, mask, n_downsample=2, use_scale_factor=True):
