@@ -57,6 +57,52 @@ class DoubleFeatureAtt(nn.Module):
         return gate * cv
 
 
+class _Kernel3d(nn.Module):
+    """Bare 1x1x1 conv3d kernel under the BasicConv-compatible path
+    (<parent>/conv/kernel)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        from stereoanywhere_tpu.models.layers import kaiming_normal_fan_out
+
+        return self.param(
+            "kernel", kaiming_normal_fan_out(), (1, 1, 1, in_features, self.features)
+        )
+
+
+class _SplitConcatConv1(nn.Module):
+    """BasicConv(k=1, instance-norm, lrelu) over a conceptual concat [a, b],
+    computed as conv(a, k[:ca]) + conv(b, k[ca:]) WITHOUT materializing the
+    concat — at 1024x1024 the full-resolution concat is 6.3 GB and is the
+    difference between fitting in HBM or not.  Parameter layout identical to
+    BasicConv (conv/kernel of shape (1,1,1, ca+cb, cout)), so checkpoints
+    convert unchanged.  Bitwise-equal math up to f32 accumulation order.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        from stereoanywhere_tpu.models.layers import instance_norm
+
+        ca, cb = a.shape[-1], b.shape[-1]
+        kernel = _Kernel3d(self.features, name="conv")(ca + cb)
+
+        def conv(x, k):
+            # 1x1x1 conv == channel matmul; einsum avoids XLA's conv3d layout
+            # padding (measured 16x HBM expansion with 8-channel minor dims)
+            return jnp.einsum(
+                "bdhwc,co->bdhwo", x, k[0, 0, 0].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+
+        y = conv(a, kernel[..., :ca, :]) + conv(b, kernel[..., ca:, :])
+        y = instance_norm(y)
+        return jax.nn.leaky_relu(y, negative_slope=0.01)
+
+
 class Hourglass(nn.Module):
     """3-level 3-D encoder-decoder over the masked cost volume
     (reference hourglass.py:13-91).
@@ -111,10 +157,11 @@ class Hourglass(nn.Module):
                 x, features_left[ns - 2 - i], features_right[ns - 2 - i]
             )
 
-        # Final aggregation at full volume resolution (reference hourglass.py:46-50, 84-89)
+        # Final aggregation at full volume resolution (reference hourglass.py:46-50, 84-89).
+        # The concat [original, x_up] is 6.3 GB at 1024x1024; the split conv
+        # computes the same 1x1x1 BasicConv without materializing it.
         x_up = resize_trilinear_align_corners(x, original.shape[1:4])
-        x = jnp.concatenate([original, x_up], axis=-1)
-        x = BasicConv(cin, is_3d=True, kernel_size=1, padding=0, stride=1, name="final_agg_0")(x)
+        x = _SplitConcatConv1(cin, name="final_agg_0")(original, x_up)
         x = BasicConv(cin, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_1")(x)
         x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x)
         x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(

@@ -173,8 +173,14 @@ class StereoAnywhere(nn.Module):
             coarse_dispstereo2 = coarse_dispstereo3 = None
 
         # --- masked mono volume -> hourglass -> classifiers (ref :161-166) -
-        masked_mono = apply_bin_masks(mono_vol, left_masks, right_masks)  # (B,H,W2,W3,N)
-        masked_mono = masked_mono.transpose(0, 3, 1, 2, 4).astype(cdt)    # (B,W3,H,W2,N)
+        # Build directly in the hourglass layout (B,W3,H,W2,N): fusing the
+        # transpose into the broadcast product avoids materializing the
+        # (B,H,W2,W3,N) volume twice (2x2.1 GB at 1024x1024).
+        masked_mono = (
+            mono_vol.transpose(0, 3, 1, 2)[..., None].astype(cdt)
+            * left_masks[:, None, :, :, :].astype(cdt)
+            * right_masks.transpose(0, 2, 1, 3)[:, :, :, None, :].astype(cdt)
+        )
         agg = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_mono")(
             masked_mono, fmde2, fmde3
         )

@@ -105,13 +105,20 @@ class TileParallelInference:
         n_tiles: int | None = None,
         overlap: int = 64,
         iters: int = 32,
+        sequential: bool = False,
     ):
+        """`sequential=True` runs tiles one-at-a-time via `lax.map` instead of
+        as a sharded batch: peak HBM is bounded by ONE tile — the
+        single-chip answer for resolutions whose full cost volume exceeds
+        HBM (the reference's sequential map-reduce memory behavior, without
+        its host round-trips)."""
         self.apply_fn = apply_fn
         self.variables = variables
         self.mesh = mesh
         self.n_tiles = n_tiles or mesh.shape["tile"]
         self.overlap = overlap
         self.iters = iters
+        self.sequential = sequential
         self._jitted = {}
 
     def _build(self, plan: TilePlan, w: int):
@@ -124,12 +131,26 @@ class TileParallelInference:
 
         @partial(jax.jit, static_argnums=())
         def run(variables, im2, im3, mde2, mde3):
-            t2 = jax.lax.with_sharding_constraint(extract_row_tiles(im2, plan), tile_sharding)
-            t3 = jax.lax.with_sharding_constraint(extract_row_tiles(im3, plan), tile_sharding)
-            m2 = jax.lax.with_sharding_constraint(extract_row_tiles(mde2, plan), tile_sharding)
-            m3 = jax.lax.with_sharding_constraint(extract_row_tiles(mde3, plan), tile_sharding)
-            out = self.apply_fn(variables, t2, t3, m2, m3, self.iters)
-            disp = out["disparity"]  # (T, tile_h, W, 1)
+            t2 = extract_row_tiles(im2, plan)
+            t3 = extract_row_tiles(im3, plan)
+            m2 = extract_row_tiles(mde2, plan)
+            m3 = extract_row_tiles(mde3, plan)
+            if self.sequential:
+                # one tile at a time: scan bounds peak memory to a single tile
+                def one(tile):
+                    a, b_, c, d = tile
+                    out = self.apply_fn(
+                        variables, a[None], b_[None], c[None], d[None], self.iters
+                    )
+                    return out["disparity"][0]
+
+                disp = jax.lax.map(one, (t2, t3, m2, m3))
+            else:
+                t2 = jax.lax.with_sharding_constraint(t2, tile_sharding)
+                t3 = jax.lax.with_sharding_constraint(t3, tile_sharding)
+                m2 = jax.lax.with_sharding_constraint(m2, tile_sharding)
+                m3 = jax.lax.with_sharding_constraint(m3, tile_sharding)
+                disp = self.apply_fn(variables, t2, t3, m2, m3, self.iters)["disparity"]
             return stitch_row_tiles(disp, plan)
 
         self._jitted[key] = run

@@ -89,6 +89,13 @@ def test_tile_parallel_inference_close_to_monolithic(rng):
     mono = np.asarray(apply_fn(variables, im2, im3, mde, mde, 2)["disparity"])
     assert tiled.shape == mono.shape
     assert np.isfinite(tiled).all()
+
+    # sequential (memory-bounded) mode must agree with the batched mode
+    tps = TileParallelInference(
+        apply_fn, variables, mesh, n_tiles=2, overlap=32, iters=2, sequential=True
+    )
+    seq = np.asarray(tps.infer(im2, im3, mde, mde))
+    np.testing.assert_allclose(seq, tiled, rtol=1e-3, atol=1e-3)
     # both are plausible disparity fields of the same scene; per-tile LSQ
     # scaling means values differ, but must correlate strongly in the interior
     a = tiled[0, 8:-8, :, 0].ravel()
