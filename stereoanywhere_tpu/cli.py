@@ -139,34 +139,28 @@ def cmd_train(args):
 
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(tc.seed)
-    order = rng.permutation(len(ds))
+    from stereoanywhere_tpu.data.loader import PrefetchLoader
+
     step = int(trainer.state.step)
     print(f"training: {len(ds)} pairs, {total} steps, starting at {step}")
     t0 = time.time()
-    while step < total and not trainer.stop_requested:
-        idx = [int(order[(step * tc.batch_size + i) % len(ds)]) for i in range(tc.batch_size)]
-        samples = [ds[i] for i in idx]
-        batch = {
-            "im2_aug": np.stack([s["im2_aug"] for s in samples]),
-            "im3_aug": np.stack([s["im3_aug"] for s in samples]),
-            "mono2": np.stack([s.get("im2_mono", s["gt"] * 0) for s in samples]),
-            "mono3": np.stack([s.get("im3_mono", s["gt_right"] * 0) for s in samples]),
-            "gt": np.stack([s["gt"] for s in samples]),
-            "validgt": np.stack([s["validgt"] for s in samples]),
-            "gt_right": np.stack([s["gt_right"] for s in samples]),
-            "validgt_right": np.stack([s["validgt_right"] for s in samples]),
-        }
-        logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
-        step += 1
-        if step % args.log_every == 0:
-            print(
-                f"step {step}/{total} loss {float(logs['loss/total']):.4f} "
-                f"epe {float(logs['epe/final']):.3f} ({(time.time()-t0)/args.log_every:.2f}s/step)"
-            )
-            t0 = time.time()
-        if args.savedir and step % args.save_every == 0:
-            trainer.save("latest")
+    with PrefetchLoader(
+        ds, tc.batch_size, total, seed=tc.seed, start_step=step,
+        num_threads=args.loader_threads,
+    ) as loader:
+        for step0, batch in loader:
+            if trainer.stop_requested:
+                break
+            logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
+            step = step0 + 1
+            if step % args.log_every == 0:
+                print(
+                    f"step {step}/{total} loss {float(logs['loss/total']):.4f} "
+                    f"epe {float(logs['epe/final']):.3f} ({(time.time()-t0)/args.log_every:.2f}s/step)"
+                )
+                t0 = time.time()
+            if args.savedir and step % args.save_every == 0:
+                trainer.save("latest")
     if args.savedir:
         trainer.save("stopped" if trainer.stop_requested else "final")
 
@@ -253,6 +247,8 @@ def main(argv=None):
     pt.add_argument("--log-every", type=int, default=20)
     pt.add_argument("--save-every", type=int, default=500)
     pt.add_argument("--mono-precomputed", default=None)
+    pt.add_argument("--loader-threads", type=int, default=4,
+                    help="prefetch worker threads (0 = synchronous loading)")
     pt.set_defaults(fn=cmd_train, iters=12)
 
     pm = sub.add_parser("precompute-mono")

@@ -49,7 +49,28 @@ class DisparityAugmentor:
     seed: int | None = None
 
     def __post_init__(self):
-        self.rng = np.random.default_rng(self.seed)
+        # The RNG is thread-local so PrefetchLoader workers can augment
+        # concurrently (the reference accepts the same per-worker stream
+        # independence via torch DataLoader worker seeding,
+        # base_dataset.py:65-74).  Each thread's stream is derived from
+        # (seed, thread-index).
+        import itertools
+        import threading
+
+        self._tls = threading.local()
+        self._thread_counter = itertools.count()
+
+    @property
+    def rng(self) -> np.random.Generator:
+        if not hasattr(self._tls, "rng"):
+            tid = next(self._thread_counter)
+            seq = [tid] if self.seed is None else [self.seed, tid]
+            self._tls.rng = np.random.default_rng(seq)
+        return self._tls.rng
+
+    @rng.setter
+    def rng(self, value):
+        self._tls.rng = value
 
     # -- photometric -----------------------------------------------------
     def _jitter(self, im: np.ndarray) -> np.ndarray:

@@ -1,9 +1,13 @@
-"""Image / disparity readers (host-side, numpy + PIL — no OpenCV dependency).
+"""Image / disparity readers (host-side — no OpenCV dependency).
 
 Covers every format the reference consumes (reference dataloaders/frame_utils.py):
 PFM (:33-68), KITTI 16-bit disparity /256 (:109-112), 16-bit depth /1000
 (:114-117), 16-bit mono PNG /65535 (:137-138), npy, and a generic read_gen.
 EXR depth is gated on an optional imageio backend.
+
+Decoding dispatches to the native C++ runtime (stereoanywhere_tpu.native,
+libpng/libjpeg, GIL-free) when available — that's what makes the threaded
+PrefetchLoader scale — with pure numpy/PIL fallbacks.
 """
 from __future__ import annotations
 
@@ -13,9 +17,13 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
+from stereoanywhere_tpu import native
+
 
 def read_pfm(path: str) -> np.ndarray:
     """Read a PFM file to float32 (H,W) or (H,W,3); PFM rows are bottom-up."""
+    if native.available():
+        return native.read_pfm(path)
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":
@@ -56,11 +64,26 @@ def write_pfm(path: str, image: np.ndarray, scale: float = 1.0) -> None:
 
 def read_image(path: str) -> np.ndarray:
     """RGB uint8 (H,W,3)."""
+    ext = Path(path).suffix.lower()
+    if native.available() and ext in (".png", ".jpg", ".jpeg"):
+        arr = native.read_png(path) if ext == ".png" else native.read_jpeg(path)
+        if arr.dtype == np.uint16:  # 16-bit color PNG -> 8-bit like PIL convert
+            arr = (arr >> 8).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = np.repeat(arr[..., None], 3, axis=-1)
+        if arr.shape[-1] == 4:  # drop alpha (PIL .convert('RGB') semantics)
+            arr = arr[..., :3]
+        return np.ascontiguousarray(arr)
     return np.asarray(Image.open(path).convert("RGB"))
 
 
 def read_gray16(path: str) -> np.ndarray:
     """16-bit PNG as float32."""
+    if native.available() and str(path).lower().endswith(".png"):
+        arr = native.read_png(path)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        return arr.astype(np.float32)
     return np.asarray(Image.open(path), dtype=np.float32)
 
 

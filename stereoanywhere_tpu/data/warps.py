@@ -2,17 +2,24 @@
 reference's numba @njit kernels (reference utils.py:89-117 z-buffer splats,
 :227-270 KITTI-style background infill, :119-182 point-cloud reprojection).
 
-These are data-preparation tools, not on the model hot path.
+These are data-preparation tools, not on the model hot path.  Each function
+dispatches to the native C++ runtime (native/stereodata.cc — the equivalent
+of the reference's numba JIT, but GIL-free scalar loops) when available, with
+the vectorized numpy forms as fallback and test oracle.
 """
 from __future__ import annotations
 
 import numpy as np
+
+from stereoanywhere_tpu import native
 
 
 def fast_warp_depth(depth: np.ndarray, disparity: np.ndarray) -> np.ndarray:
     """Forward-splat a left depth map into the right view with a z-buffer
     (reference _fast_warp_depth, utils.py:89-108): each pixel lands at
     x - disp; nearest (smallest depth) wins."""
+    if native.available():
+        return native.warp_depth(depth, disparity)
     h, w = depth.shape
     ys, xs = np.nonzero(depth > 0)
     tx = np.round(xs - disparity[ys, xs]).astype(np.int64)
@@ -27,6 +34,8 @@ def fast_warp_depth(depth: np.ndarray, disparity: np.ndarray) -> np.ndarray:
 def fast_warp_disparity(disparity: np.ndarray) -> np.ndarray:
     """Forward-splat a left disparity into the right view; larger disparity
     (nearer) wins (reference _fast_warp_disparity, utils.py:110-117)."""
+    if native.available():
+        return native.warp_disparity(disparity)
     h, w = disparity.shape
     ys, xs = np.nonzero(disparity > 0)
     d = disparity[ys, xs]
@@ -43,6 +52,8 @@ def interpolate_background(disparity: np.ndarray) -> np.ndarray:
     _interpolate_background, utils.py:227-270): each hole row-span takes the
     min (farther) of its left/right valid neighbors; remaining holes take the
     nearest valid value in the row, then column."""
+    if native.available():
+        return native.interpolate_background(disparity)
     d = disparity.astype(np.float32).copy()
     h, w = d.shape
     for y in range(h):

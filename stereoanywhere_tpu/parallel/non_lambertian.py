@@ -36,10 +36,17 @@ def otsu_threshold(gray: np.ndarray, bins: int = 256) -> float:
 def non_lambertian_mask(im2: np.ndarray, im3: np.ndarray) -> np.ndarray:
     """Binary mask of photometrically-inconsistent regions from the L/R
     intensity difference (reference non_lambertian.py:34-43)."""
+    from stereoanywhere_tpu import native
+
     g2 = im2.mean(axis=-1)
     g3 = im3.mean(axis=-1)
     diff = np.abs(g2 - g3)
     diff = diff / max(diff.max(), 1e-6)
+    if native.available():
+        # uint8 histogram Otsu — same quantization as the reference's
+        # cv2.threshold(u8, ..., THRESH_OTSU) path.
+        _, mask = native.otsu_mask(np.round(diff * 255).astype(np.uint8))
+        return (mask > 0).astype(np.float32)
     th = otsu_threshold(diff)
     return (diff > th).astype(np.float32)
 

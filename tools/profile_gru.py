@@ -69,7 +69,7 @@ def main():
             leaves = jax.tree.leaves(out)
             return sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
-        t = chained_timer(fn, *xs, n_chain=16)
+        t = chained_timer(fn, *xs, n_chain=128)
         results[name] = t
         print(f"{name:40s} {t*1e3:8.3f} ms")
         return t
@@ -87,7 +87,7 @@ def main():
         (nets, c1, m), _ = step.apply(variables, (carry[0], carry[1] + eps, carry[2]), consts)
         return sum(jnp.mean(n.astype(jnp.float32)) for n in nets) + jnp.mean(c1)
 
-    t_full = chained_timer(full_fn, carry, consts, n_chain=16)
+    t_full = chained_timer(full_fn, carry, consts, n_chain=64)
     results["full RefinementStep"] = t_full
     print(f"{'full RefinementStep':40s} {t_full*1e3:8.3f} ms")
 
@@ -111,7 +111,7 @@ def main():
         pyr = CorrPyramid(levels, 4)
         return jnp.mean(lookup_corr_pyramid(pyr, coords + eps).astype(jnp.float32))
 
-    t = chained_timer(lk, coords, levels, n_chain=16)
+    t = chained_timer(lk, coords, levels, n_chain=128)
     results["corr lookup (1 volume)"] = t
     print(f"{'corr lookup (1 volume)':40s} {t*1e3:8.3f} ms")
 
