@@ -2,8 +2,9 @@
 
 Covers every format the reference consumes (reference dataloaders/frame_utils.py):
 PFM (:33-68), KITTI 16-bit disparity /256 (:109-112), 16-bit depth /1000
-(:114-117), 16-bit mono PNG /65535 (:137-138), npy, and a generic read_gen.
-EXR depth is gated on an optional imageio backend.
+(:114-117), 16-bit mono PNG /65535 (:137-138), npy, EXR depth->disparity
+(:124-129, via the built-in scanline codec in data/exr.py), and a generic
+read_gen.
 
 Decoding dispatches to the native C++ runtime (stereoanywhere_tpu.native,
 libpng/libjpeg, GIL-free) when available — that's what makes the threaded
@@ -107,6 +108,14 @@ def write_mono16(path: str, mono01: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+def read_depth_exr(path: str, focal: float, baseline: float):
+    """EXR depth -> (disparity, valid) via disp = f*b/z (reference
+    frame_utils.py:124-129 readDepthEXR)."""
+    from stereoanywhere_tpu.data.exr import read_depth_exr as _impl
+
+    return _impl(path, focal, baseline)
+
+
 def read_gen(path: str) -> np.ndarray:
     """Generic reader by extension (reference frame_utils.py:140-155)."""
     ext = Path(path).suffix.lower()
@@ -116,4 +125,10 @@ def read_gen(path: str) -> np.ndarray:
         return read_pfm(path)
     if ext == ".npy":
         return np.load(path)
+    if ext == ".exr":
+        from stereoanywhere_tpu.data.exr import read_exr
+
+        chans = read_exr(path)
+        key = "Z" if "Z" in chans else sorted(chans)[0]
+        return chans[key].astype(np.float32)
     raise ValueError(f"unsupported extension: {path}")

@@ -168,6 +168,54 @@ class ConfidenceAwareMotionEncoder(nn.Module):
         return jnp.concatenate([out, flow, flow_conf], axis=-1)
 
 
+class MultiUpdateScalerBlock(nn.Module):
+    """3-level GRU cascade predicting local scale, global scale/shift and
+    confidence deltas instead of a flow delta (reference
+    BasicMultiUpdateScalerBlock, update.py:199-240; present-but-unused in the
+    shipped model).
+
+    Reference quirk NOT replicated: the reference calls
+    `self.encoder(flow, flow_conf, corr)` with three arguments while
+    BasicConfidenceAwareMotionEncoder.forward takes four (flow, flow_conf,
+    corr, corr_mono) — a latent TypeError in the unused path (reference
+    update.py:226 vs :110).  Here the encoder gets both correlation streams.
+
+    Returns (new_net, delta_lscale, delta_gscale, delta_gshift, delta_conf).
+    """
+
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    n_gru_layers: int = 3
+
+    @nn.compact
+    def __call__(self, net, inp, corr, corr_mono, flow, flow_conf):
+        hd = self.hidden_dims
+        net = list(net)
+
+        if self.n_gru_layers == 3:
+            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
+        if self.n_gru_layers >= 2:
+            if self.n_gru_layers > 2:
+                net[1] = ConvGRU(hd[1], name="gru16")(
+                    net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+                )
+            else:
+                net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
+        motion = ConfidenceAwareMotionEncoder(name="encoder")(flow, flow_conf, corr, corr_mono)
+        if self.n_gru_layers > 1:
+            net[0] = ConvGRU(hd[2], name="gru08")(
+                net[0], *inp[0], motion, interp_like(net[1], net[0])
+            )
+        else:
+            net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+
+        gscale_gshift = ScaleShiftUpdateHead(256, 2, name="gscale_gshift_head")(net[0])
+        delta_gscale = gscale_gshift[..., 0:1]
+        delta_gshift = gscale_gshift[..., 1:2]
+        delta_conf = SigmoidUpdateHead(256, 1, name="conf_head")(net[0])
+        delta_lscale = SigmoidUpdateHead(256, 1, name="lscale_head")(net[0])
+        return tuple(net), delta_lscale, delta_gscale, delta_gshift, delta_conf
+
+
 class MultiUpdateBlock(nn.Module):
     """3-level GRU cascade with cross-scale pooling/interp
     (reference BasicMultiUpdateBlock, update.py:134-197).

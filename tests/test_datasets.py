@@ -155,3 +155,39 @@ def test_augmentor_contract(rng):
         assert out[k].shape == (64, 96, 3)
         assert 0 <= out[k].min() and out[k].max() <= 1.0
     assert out["gt"].shape == (64, 96, 1)
+
+
+def test_exr_codec_roundtrip(tmp_path, rng):
+    """Built-in EXR scanline codec (data/exr.py): round-trip for every
+    supported compression, HALF and FLOAT channels, multi-channel, and the
+    depth->disparity conversion (reference frame_utils.py:124-129)."""
+    from stereoanywhere_tpu.data import frame_utils as fu
+    from stereoanywhere_tpu.data.exr import read_exr, write_exr
+
+    z = rng.uniform(0.5, 10, (33, 50)).astype(np.float32)
+    for comp in ("none", "zips", "zip"):
+        p = str(tmp_path / f"{comp}.exr")
+        write_exr(p, {"Z": z}, compression=comp)
+        np.testing.assert_array_equal(read_exr(p)["Z"], z)
+
+    # HALF channel + multi-channel
+    p = str(tmp_path / "half.exr")
+    write_exr(p, {"Z": z.astype(np.float16), "C": z * 2}, compression="zip")
+    back = read_exr(p)
+    assert back["Z"].dtype == np.float16
+    np.testing.assert_array_equal(back["Z"], z.astype(np.float16))
+    np.testing.assert_array_equal(back["C"], z * 2)
+
+    # depth -> disparity with holes
+    zh = z.copy()
+    zh[0, :5] = 0
+    p = str(tmp_path / "d.exr")
+    write_exr(p, {"Z": zh})
+    disp, valid = fu.read_depth_exr(p, 450.0, 0.075)
+    assert disp.shape == (33, 50, 1) and valid.shape == (33, 50, 1)
+    assert (valid[0, :5, 0] == 0).all() and disp[0, 0, 0] == 0
+    np.testing.assert_allclose(
+        disp[zh[..., None] > 0], (450.0 * 0.075 / zh[..., None])[zh[..., None] > 0], rtol=1e-6
+    )
+    # generic reader dispatch
+    np.testing.assert_array_equal(fu.read_gen(p), zh)

@@ -115,3 +115,41 @@ def test_otsu_bimodal():
     # a plateau edge).  Require separation quality, not a specific value.
     sep = ((a < th).mean() + (b > th).mean()) / 2
     assert sep > 0.97, (th, sep)
+
+
+def test_multi_update_scaler_block_shapes(rng):
+    """MultiUpdateScalerBlock (reference BasicMultiUpdateScalerBlock,
+    update.py:199-240): full assembly returns scale/shift/confidence deltas
+    with the right shapes and bounded ranges."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.models.update import MultiUpdateScalerBlock
+
+    b, h, w = 1, 16, 24
+    net = tuple(
+        jnp.asarray(rng.standard_normal((b, h // s, w // s, 128)).astype(np.float32))
+        for s in (1, 2, 4)
+    )
+    inp = tuple(
+        tuple(
+            jnp.asarray(rng.standard_normal(n.shape).astype(np.float32)) for _ in range(3)
+        )
+        for n in net
+    )
+    corr = jnp.asarray(rng.standard_normal((b, h, w, 36)).astype(np.float32))
+    flow = jnp.zeros((b, h, w, 2))
+    flow_conf = jnp.ones((b, h, w, 1)) * 0.5
+
+    block = MultiUpdateScalerBlock()
+    variables = block.init(jax.random.PRNGKey(0), net, inp, corr, corr, flow, flow_conf)
+    new_net, d_lscale, d_gscale, d_gshift, d_conf = block.apply(
+        variables, net, inp, corr, corr, flow, flow_conf
+    )
+    assert tuple(x.shape for x in new_net) == tuple(x.shape for x in net)
+    assert d_lscale.shape == (b, h, w, 1)
+    assert d_conf.shape == (b, h, w, 1)
+    assert d_gscale.shape == (b, 1, 1, 1) and d_gshift.shape == (b, 1, 1, 1)
+    # sigmoid heads are bounded
+    assert float(d_lscale.min()) >= 0 and float(d_lscale.max()) <= 1
+    assert float(d_conf.min()) >= 0 and float(d_conf.max()) <= 1
