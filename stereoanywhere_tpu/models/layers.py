@@ -45,7 +45,14 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     normalization itself is applied in the INPUT dtype: promoting the
     arithmetic materializes a full-resolution f32 copy of the activation
     (measured: 136 MB per norm at 512x512 in the feature encoder).
+
+    The optimization_barrier pins the producer (usually a conv) to run ONCE:
+    without it XLA fuses the conv into BOTH consumers — the stats reduction
+    and the normalize pass — duplicating the conv work (measured on v5e at
+    512x512/64ch: conv+IN 2.70 ms -> 1.64 ms with the barrier; the conv
+    alone is 1.21 ms).
     """
+    x = jax.lax.optimization_barrier(x)
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
     mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
@@ -75,6 +82,9 @@ class BatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # barrier: see instance_norm — keeps the producer un-duplicated
+            # across the stats and normalize consumers.
+            x = jax.lax.optimization_barrier(x)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
             var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes) - jnp.square(mean)

@@ -287,14 +287,15 @@ class StereoAnywhere(nn.Module):
             corr_radius=cfg.corr_radius,
             emit_outputs=not test_mode,
             compute_dtype=cfg.compute_dtype,
+            mask_last_only=iters if test_mode else 0,
             name="update_block",
         )
         inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)
         mask_init = jnp.zeros((b, h4, w4, 9 * f * f), cdt)
 
-        (net_final, coords1, mask_final), ys = step_mod(
-            (net_init, coords1, mask_init),
+        (net_final, coords1, mask_final, _itr), ys = step_mod(
+            (net_init, coords1, mask_init, jnp.int32(0)),
             (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0),
         )
 

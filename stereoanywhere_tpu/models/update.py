@@ -278,22 +278,32 @@ class RefinementStep(nn.Module):
     corr_radius: int = 4
     emit_outputs: bool = True  # False in test mode: no per-iter ys
     compute_dtype: str = "float32"
+    mask_last_only: int = 0  # >0: compute the upsample-mask head only at
+    # iteration mask_last_only-1 (test mode: the reference computes the mask
+    # every iteration but only the last one is consumed, test.py:225 path /
+    # stereoanywhere.py:286-287) — skipping the other 31 saves ~2 ms at 512².
 
     @nn.compact
     def __call__(self, carry, consts):
         import jax.numpy as jnp
 
-        from stereoanywhere_tpu.ops.corr_lookup import CorrPyramid, lookup_corr_pyramid
+        from stereoanywhere_tpu.ops.corr_lookup import (
+            CorrPyramid,
+            lookup_corr_pyramid_pair,
+        )
 
-        net, coords1, _prev_mask = carry
+        net, coords1, _prev_mask, itr = carry
         stereo_levels, mono_levels, inp, coords0 = consts
         radius = self.corr_radius
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         coords1 = jax.lax.stop_gradient(coords1)
         lookup_x = coords1[..., 0]
-        stereo_corr = lookup_corr_pyramid(CorrPyramid(stereo_levels, radius), lookup_x).astype(cdt)
-        mono_corr = lookup_corr_pyramid(CorrPyramid(mono_levels, radius), lookup_x).astype(cdt)
+        stereo_corr, mono_corr = lookup_corr_pyramid_pair(
+            CorrPyramid(stereo_levels, radius), CorrPyramid(mono_levels, radius), lookup_x
+        )
+        stereo_corr = stereo_corr.astype(cdt)
+        mono_corr = mono_corr.astype(cdt)
         flow_x = coords1 - coords0
         flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1).astype(cdt)
 
@@ -318,14 +328,39 @@ class RefinementStep(nn.Module):
 
         delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
         factor = 2 ** self.n_downsample
-        m = jax.nn.relu(Conv(256, 3, 1, 1, name="mask_0")(net[0]))
-        mask = 0.25 * Conv(factor * factor * 9, 1, 1, 0, name="mask_2")(m)
+        # Mask-head parameters created OUTSIDE the cond below (same flax
+        # paths as Conv(name=...): mask_0/kernel, mask_2/bias, ...), so the
+        # cond branches stay pure jax.
+        k0, b0 = _ConvParams(256, 3, name="mask_0")(net[0].shape[-1])
+        k2, b2 = _ConvParams(factor * factor * 9, 1, name="mask_2")(256)
+
+        def compute_mask(x):
+            y = jax.lax.conv_general_dilated(
+                x, k0.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = jax.nn.relu(y + b0.astype(y.dtype))
+            y = jax.lax.conv_general_dilated(
+                y, k2.astype(y.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return (0.25 * (y + b2.astype(y.dtype))).astype(cdt)
+
+        if self.mask_last_only > 0 and not self.emit_outputs:
+            # only the final iteration's mask feeds the convex upsample
+            mask = jax.lax.cond(
+                itr == self.mask_last_only - 1,
+                compute_mask,
+                lambda x: jnp.zeros(x.shape[:3] + (factor * factor * 9,), cdt),
+                net[0],
+            )
+        else:
+            mask = compute_mask(net[0])
 
         # epipolar projection: only the x-delta is applied (ref :277)
         coords1_new = coords1 + delta_flow[..., 0:1].astype(jnp.float32)
         # keep carry dtypes stable across iterations (params may be f32 while
         # the carry was initialized in the compute dtype, or vice versa)
         net = [n.astype(cdt) for n in net]
-        mask = mask.astype(cdt)
         out = (coords1_new - coords0, mask) if self.emit_outputs else 0
-        return (tuple(net), coords1_new, mask), out
+        return (tuple(net), coords1_new, mask, itr + 1), out

@@ -117,6 +117,47 @@ def _lookup_level(level: jax.Array, coords: jax.Array, radius: int) -> jax.Array
     return _lookup_level_lagged(level, coords, radius)
 
 
+def _lookup_level_lagged_pair(
+    level_a: jax.Array, level_b: jax.Array, coords: jax.Array, radius: int
+) -> tuple[jax.Array, jax.Array]:
+    """Lagged-product lookup of TWO same-shape volumes at the same coords.
+
+    The tent array g depends only on (coords, Wl) — not on the volume — so
+    the stereo and mono lookups of each GRU iteration share one g build and
+    one set of static slices (the model always indexes both pyramids at the
+    same coords1, reference stereoanywhere.py:270-272)."""
+    wl = level_a.shape[-1]
+    pos = coords.astype(jnp.float32)[..., None]
+    m = jnp.arange(-(radius + 1), wl + radius + 1, dtype=jnp.float32)
+    g = jnp.maximum(1.0 - jnp.abs(m - pos), 0.0).astype(level_a.dtype)
+
+    outs_a, outs_b = [], []
+    for t in range(-radius, radius + 1):
+        start = radius + 1 - t
+        g_slice = jax.lax.slice_in_dim(g, start, start + wl, axis=-1)
+        outs_a.append(jnp.sum(level_a * g_slice, axis=-1, dtype=jnp.float32))
+        outs_b.append(jnp.sum(level_b * g_slice, axis=-1, dtype=jnp.float32))
+    return (
+        jnp.stack(outs_a, axis=-1).astype(level_a.dtype),
+        jnp.stack(outs_b, axis=-1).astype(level_b.dtype),
+    )
+
+
+def lookup_corr_pyramid_pair(
+    pyr_a: CorrPyramid, pyr_b: CorrPyramid, coords: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """lookup_corr_pyramid for two pyramids sharing the same coords; on TPU
+    the per-level tent arrays are built once for both."""
+    if jax.default_backend() == "cpu":
+        return lookup_corr_pyramid(pyr_a, coords), lookup_corr_pyramid(pyr_b, coords)
+    outs_a, outs_b = [], []
+    for i, (la, lb) in enumerate(zip(pyr_a.levels, pyr_b.levels)):
+        oa, ob = _lookup_level_lagged_pair(la, lb, coords / (2 ** i), pyr_a.radius)
+        outs_a.append(oa)
+        outs_b.append(ob)
+    return jnp.concatenate(outs_a, axis=-1), jnp.concatenate(outs_b, axis=-1)
+
+
 def lookup_corr_pyramid(pyramid: CorrPyramid, coords: jax.Array) -> jax.Array:
     """Index all pyramid levels at `coords` (B,H,W2) (x-coordinate in the
     right image, i.e. coords1 x), returning (B,H,W2, levels*(2r+1)).

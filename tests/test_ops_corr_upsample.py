@@ -63,6 +63,40 @@ def test_tent_lookup_equals_gather(rng):
     np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
 
+def test_pair_lookup_equals_two_single_lookups(rng):
+    """The shared-tent pair formulation (one g build for both volumes) must
+    match two independent lookups, level-for-level and through the full
+    pyramid API."""
+    from stereoanywhere_tpu.ops.corr_lookup import (
+        CorrPyramid,
+        _lookup_level_gather,
+        _lookup_level_lagged_pair,
+        build_corr_pyramid,
+        lookup_corr_pyramid,
+        lookup_corr_pyramid_pair,
+    )
+
+    level_a = jnp.asarray(rng.standard_normal((2, 3, 8, 32)).astype(np.float32))
+    level_b = jnp.asarray(rng.standard_normal((2, 3, 8, 32)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-3, 35, (2, 3, 8)).astype(np.float32))
+    oa, ob = _lookup_level_lagged_pair(level_a, level_b, coords, 4)
+    np.testing.assert_allclose(
+        np.asarray(oa), np.asarray(_lookup_level_gather(level_a, coords, 4)),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ob), np.asarray(_lookup_level_gather(level_b, coords, 4)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    pa = build_corr_pyramid(jnp.asarray(rng.standard_normal((1, 4, 8, 16)).astype(np.float32)))
+    pb = build_corr_pyramid(jnp.asarray(rng.standard_normal((1, 4, 8, 16)).astype(np.float32)))
+    c2 = jnp.asarray(rng.uniform(0, 15, (1, 4, 8)).astype(np.float32))
+    ra, rb = lookup_corr_pyramid_pair(pa, pb, c2)
+    np.testing.assert_allclose(np.asarray(ra), np.asarray(lookup_corr_pyramid(pa, c2)), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb), np.asarray(lookup_corr_pyramid(pb, c2)), rtol=1e-5)
+
+
 def torch_convex_upflow(flow, mask, n_downsample=2, use_scale_factor=True):
     # reference utils/utils.py:97-110
     N, D, H, W = flow.shape

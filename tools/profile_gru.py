@@ -24,6 +24,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from flax import linen as nn
 
     from stereoanywhere_tpu.models.update import (
@@ -65,7 +67,7 @@ def main():
         )
 
         def fn(eps, *a):
-            out = module.apply(variables, a[0] + eps, *a[1:])
+            out = module.apply(variables, a[0] + jnp.asarray(eps, a[0].dtype), *a[1:])
             leaves = jax.tree.leaves(out)
             return sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
@@ -78,13 +80,15 @@ def main():
     step = RefinementStep(compute_dtype=args.dtype, emit_outputs=False)
     coords0 = jnp.zeros((b, h4, w4, 1), jnp.float32)
     coords1 = coords[..., None]
-    carry = (net, coords1, arr(b, h4, w4, 144))
+    carry = (net, coords1, arr(b, h4, w4, 144), jnp.int32(0))
     consts = (levels, levels, inp, coords0)
     variables = jax.jit(lambda k: step.init(k, carry, consts))(jax.random.PRNGKey(0))
     variables = jax.tree.map(lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, variables)
 
     def full_fn(eps, carry, consts):
-        (nets, c1, m), _ = step.apply(variables, (carry[0], carry[1] + eps, carry[2]), consts)
+        (nets, c1, m, _i), _ = step.apply(
+            variables, (carry[0], carry[1] + eps, carry[2], carry[3]), consts
+        )
         return sum(jnp.mean(n.astype(jnp.float32)) for n in nets) + jnp.mean(c1)
 
     t_full = chained_timer(full_fn, carry, consts, n_chain=64)

@@ -19,6 +19,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from stereoanywhere_tpu.config import StereoAnywhereConfig
     from stereoanywhere_tpu.models import StereoAnywhere
