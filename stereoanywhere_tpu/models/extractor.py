@@ -16,15 +16,30 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stereoanywhere_tpu.models.layers import BatchNorm, Conv, instance_norm
+from stereoanywhere_tpu.models.layers import (
+    BatchNorm,
+    Conv,
+    ParamConv,
+    instance_norm,
+    paired_conv_apply,
+)
 
 
 class ResidualBlock(nn.Module):
-    """Two 3x3 convs + skip (reference extractor.py:6-60)."""
+    """Two 3x3 convs + skip (reference extractor.py:6-60).
+
+    `paired=True` expects both stereo views folded into the channel dim
+    (B,H,W,2C) and applies every conv block-diagonally with the SAME
+    parameters (see layers.paired_conv_apply) — exact semantics, better MXU
+    lane utilization for the 64-channel full-resolution layers.  Only valid
+    with instance/none norm (per-channel stats are view-separable; batch-norm
+    stats would pool the views when unfolded, so pairing would change them).
+    """
 
     features: int
     norm: str = "instance"  # 'instance' | 'batch' | 'none'
     stride: int = 1
+    paired: bool = False
 
     def _norm(self, name: str):
         if self.norm == "batch":
@@ -35,9 +50,26 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        in_features = x.shape[-1]
         kw = dict(use_running_average=not train) if self.norm == "batch" else {}
 
+        if self.paired:
+            assert self.norm != "batch", "paired ResidualBlock requires non-batch norm"
+            in_features = x.shape[-1] // 2
+            k1, b1 = ParamConv(self.features, 3, name="conv1")(in_features)
+            y = paired_conv_apply(x, k1, b1, self.stride, 1)
+            y = self._norm("norm1")(y, **kw)
+            y = jax.nn.relu(y)
+            k2, b2 = ParamConv(self.features, 3, name="conv2")(self.features)
+            y = paired_conv_apply(y, k2, b2, 1, 1)
+            y = self._norm("norm2")(y, **kw)
+            y = jax.nn.relu(y)
+            if self.stride != 1 or in_features != self.features:
+                kd, bd = ParamConv(self.features, 1, name="downsample_0")(in_features)
+                x = paired_conv_apply(x, kd, bd, self.stride, 0)
+                x = self._norm("norm3")(x, **kw)
+            return jax.nn.relu(x + y)
+
+        in_features = x.shape[-1]
         y = Conv(self.features, 3, self.stride, 1, name="conv1")(x)
         y = self._norm("norm1")(y, **kw)
         y = jax.nn.relu(y)
@@ -61,21 +93,40 @@ class FeatureEncoder(nn.Module):
     output_dim: int = 256
     norm: str = "instance"
     downsample: int = 2
+    # Fold the two views (stacked on batch) into the channel dim and run
+    # every conv block-diagonally: exact same math (see paired_conv_apply),
+    # ~2x better MXU lane utilization for the full-resolution 64-channel
+    # layers.  Requires an even batch (always true: callers concat [L, R])
+    # and non-batch norm.
+    paired: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         d = self.downsample
-        x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
+        paired = self.paired and self.norm != "batch" and x.shape[0] % 2 == 0
+        if paired:
+            b = x.shape[0] // 2
+            x = jnp.concatenate([x[:b], x[b:]], axis=-1)  # (B,H,W,2*3)
+            k1, b1 = ParamConv(64, 7, name="conv1")(x.shape[-1] // 2)
+            x = paired_conv_apply(x, k1, b1, 1 + (d > 2), 3)
+        else:
+            x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
         x = instance_norm(x) if self.norm == "instance" else x
         x = jax.nn.relu(x)
 
-        x = ResidualBlock(64, self.norm, 1, name="layer1_0")(x, train)
-        x = ResidualBlock(64, self.norm, 1, name="layer1_1")(x, train)
-        x = ResidualBlock(96, self.norm, 1 + (d > 1), name="layer2_0")(x, train)
-        x = ResidualBlock(96, self.norm, 1, name="layer2_1")(x, train)
-        x = ResidualBlock(128, self.norm, 1 + (d > 0), name="layer3_0")(x, train)
-        x = ResidualBlock(128, self.norm, 1, name="layer3_1")(x, train)
+        x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_0")(x, train)
+        x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_1")(x, train)
+        x = ResidualBlock(96, self.norm, 1 + (d > 1), paired=paired, name="layer2_0")(x, train)
+        x = ResidualBlock(96, self.norm, 1, paired=paired, name="layer2_1")(x, train)
+        x = ResidualBlock(128, self.norm, 1 + (d > 0), paired=paired, name="layer3_0")(x, train)
+        x = ResidualBlock(128, self.norm, 1, paired=paired, name="layer3_1")(x, train)
 
+        if paired:
+            ko, bo = ParamConv(self.output_dim, 1, name="conv2")(x.shape[-1] // 2)
+            y = paired_conv_apply(x, ko, bo, 1, 0)
+            return jnp.concatenate(
+                [y[..., : self.output_dim], y[..., self.output_dim :]], axis=0
+            )
         return Conv(self.output_dim, 1, 1, 0, name="conv2")(x)
 
 

@@ -140,6 +140,65 @@ def Conv(
     )
 
 
+class ParamConv(nn.Module):
+    """Bare conv parameters under torch-compatible paths (<name>/kernel,
+    <name>/bias) so the caller can apply the conv itself (block-diagonal
+    paired application, fused sibling convs, lax.cond branches, ...).
+    Param layout identical to the Conv factory: HWIO kernel + bias."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", kaiming_normal_fan_out(), (k, k, in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def paired_conv_apply(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None,
+    stride: int = 1,
+    padding: int = 0,
+) -> jax.Array:
+    """Apply one conv to TWO views folded into the channel dim.
+
+    x is (B, H, W, 2*Cin) holding [view-A channels | view-B channels]; the
+    (kh,kw,Cin,Cout) kernel is applied to each half independently (shared
+    weights) via a block-diagonal (kh,kw,2Cin,2Cout) kernel -> (B,H,W,2Cout).
+
+    Exactly equivalent to running the views as separate batch entries (the
+    extra multiplications are by structural zeros), but the folded layout
+    fills the TPU's 128-lane tiling: a 64-channel 3x3 conv at 512x512 runs
+    1.21 ms as (2,H,W,64) and 0.83 ms as (1,H,W,128) on v5e.
+    """
+    z = jnp.zeros_like(kernel)
+    kbd = jnp.concatenate(
+        [jnp.concatenate([kernel, z], axis=3), jnp.concatenate([z, kernel], axis=3)],
+        axis=2,
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        kbd.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.concatenate([bias, bias]).astype(y.dtype)
+    return y
+
+
 def Conv3d(
     features: int,
     kernel_size: int = 3,

@@ -87,3 +87,25 @@ def test_train_mode_and_gradients(model_and_params, tiny_inputs):
     frac = float(np.mean(nonzero))
     # fnet, cnet, hourglass, update block, classifiers all sit on the loss path
     assert frac > 0.9, f"only {frac:.2%} of params got nonzero grads"
+
+
+def test_paired_feature_encoder_exact():
+    """Folded-pair fnet (views in channels, block-diagonal kernels) computes
+    the same math as the unpaired path — the extra multiplications are by
+    structural zeros — up to conv-implementation reassociation (~1e-5)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.models.extractor import FeatureEncoder
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+    paired = FeatureEncoder(64, paired=True)
+    unpaired = FeatureEncoder(64, paired=False)
+    variables = paired.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param paths: the same variables drive both paths
+    yp = paired.apply(variables, x, train=False)
+    yu = unpaired.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), rtol=1e-3, atol=1e-4)
