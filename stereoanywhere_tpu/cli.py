@@ -27,7 +27,12 @@ def _load_stereo(checkpoint: str | None, cfg, sample_hw=(64, 96)):
     from stereoanywhere_tpu.models import StereoAnywhere
 
     model = StereoAnywhere(cfg)
-    if checkpoint:
+    if checkpoint and checkpoint.endswith(".msgpack"):
+        from flax import serialization
+
+        variables = serialization.msgpack_restore(open(checkpoint, "rb").read())
+        variables = jax.tree.map(jnp.asarray, variables)
+    elif checkpoint:
         from stereoanywhere_tpu.compat import convert_stereo_checkpoint, load_torch_state_dict
 
         variables = convert_stereo_checkpoint(load_torch_state_dict(checkpoint))
@@ -56,7 +61,12 @@ def _load_mono(checkpoint: str | None, encoder: str = "vitl"):
 
     cfg = MonoConfig.for_encoder(encoder)
     model = DepthAnythingV2(cfg)
-    variables = convert_dav2_checkpoint(load_torch_state_dict(checkpoint))
+    if checkpoint.endswith(".msgpack"):
+        from flax import serialization
+
+        variables = serialization.msgpack_restore(open(checkpoint, "rb").read())
+    else:
+        variables = convert_dav2_checkpoint(load_torch_state_dict(checkpoint))
     variables = jax.tree.map(jnp.asarray, variables)
     return model, variables
 
@@ -197,6 +207,40 @@ def cmd_precompute_mono(args):
             print(f"{i}/{len(ds)}")
 
 
+def cmd_convert(args):
+    """Convert a reference torch checkpoint (.tar/.pth, DataParallel 'module.'
+    prefixes handled — reference train.py:647-653 format) into a native flax
+    msgpack checkpoint that eval/serve load without torch."""
+    from flax import serialization
+
+    from stereoanywhere_tpu.compat import (
+        convert_dav2_checkpoint,
+        convert_stereo_checkpoint,
+        load_torch_state_dict,
+    )
+
+    state = load_torch_state_dict(args.input)
+    if args.kind == "stereo":
+        variables = convert_stereo_checkpoint(state)
+    else:
+        variables = convert_dav2_checkpoint(state)
+    data = serialization.msgpack_serialize(variables)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    import numpy as np
+
+    n = sum(np.asarray(x).size for x in _tree_leaves(variables))
+    print(f"wrote {args.output}: {n/1e6:.1f}M params ({len(data)/1e6:.1f} MB)")
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
 def cmd_serve(args):
     from stereoanywhere_tpu.config import StereoAnywhereConfig
     from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline, serve_http
@@ -250,6 +294,12 @@ def main(argv=None):
     pt.add_argument("--loader-threads", type=int, default=4,
                     help="prefetch worker threads (0 = synchronous loading)")
     pt.set_defaults(fn=cmd_train, iters=12)
+
+    pc = sub.add_parser("convert")
+    pc.add_argument("--input", required=True, help="torch .tar/.pth checkpoint")
+    pc.add_argument("--output", required=True, help="output .msgpack path")
+    pc.add_argument("--kind", choices=["stereo", "dav2"], default="stereo")
+    pc.set_defaults(fn=cmd_convert)
 
     pm = sub.add_parser("precompute-mono")
     common(pm)

@@ -153,3 +153,41 @@ def test_multi_update_scaler_block_shapes(rng):
     # sigmoid heads are bounded
     assert float(d_lscale.min()) >= 0 and float(d_lscale.max()) <= 1
     assert float(d_conf.min()) >= 0 and float(d_conf.max()) <= 1
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """cli convert: torch .tar checkpoint -> native msgpack; _load_stereo
+    reads it back identical to the direct converter output (so serving needs
+    no torch).  DataParallel 'module.' prefixes included like the reference's
+    saved checkpoints (reference train.py:647-653)."""
+    import jax
+    import torch as _torch
+
+    from stereoanywhere_tpu.cli import main as cli_main
+    from stereoanywhere_tpu.compat.torch_convert import (
+        convert_stereo_checkpoint,
+        load_torch_state_dict,
+    )
+    from tests.reference_loader import load_reference_stereo_module
+
+    load_reference_stereo_module()
+    from models.stereoanywhere.stereoanywhere import StereoAnywhere as TorchSA
+
+    torch_model = TorchSA({})
+    sd = {f"module.{k}": v for k, v in torch_model.state_dict().items()}
+    tar = str(tmp_path / "ckpt.tar")
+    _torch.save({"state_dict": sd}, tar)
+
+    out = str(tmp_path / "ckpt.msgpack")
+    cli_main(["convert", "--input", tar, "--output", out, "--kind", "stereo"])
+
+    from flax import serialization
+
+    restored = serialization.msgpack_restore(open(out, "rb").read())
+    direct = convert_stereo_checkpoint(load_torch_state_dict(tar))
+
+    flat_r = jax.tree.leaves(restored)
+    flat_d = jax.tree.leaves(direct)
+    assert len(flat_r) == len(flat_d) and len(flat_r) > 50
+    for a, b in zip(flat_r, flat_d):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
