@@ -271,10 +271,49 @@ _ACTS: dict[str, Callable] = {
 }
 
 
+class Conv3dParams(nn.Module):
+    """Bare conv3d parameters under the Conv3d-compatible path
+    (<name>/kernel: (k,k,k,Ci,Co)), for callers that apply the conv via a
+    custom lowering (the banded fold).
+
+    kernel_init MUST match whatever the direct-conv branch of the caller
+    uses, so the fold/direct choice never changes random initialization."""
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    kernel_init: Callable = kaiming_normal_fan_out()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init, (k,) * 3 + (in_features, self.features)
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _use_banded_conv3d(ci: int, co: int) -> bool:
+    """Banded fold on accelerators for SMALL-channel 3-D convs; direct conv3d
+    on CPU (XLA:CPU convs are fine there and tests compare against the torch
+    oracle on CPU) and for channel counts where XLA's direct lowering already
+    tiles the MXU acceptably (measured crossover ~ ci*co 512 on v5e:
+    8->1/8->8/8->16 fold 2.0-2.7x faster, 16->32 1.3x, 32->32 0.7x)."""
+    return ci * co <= 512 and jax.default_backend() != "cpu"
+
+
 class BasicConv(nn.Module):
     """Conv(+3d) -> norm -> activation (reference submodule.py:25-53).
 
     norm 'instance' (affine-free) or 'none'; bias disabled like the reference.
+
+    TPU: 3-D convs with k=3 are applied via the blocked banded fold
+    (ops/conv3d_fold.py) — same math, MXU-shaped operands.
     """
 
     features: int
@@ -287,15 +326,27 @@ class BasicConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        conv_cls = Conv3d if self.is_3d else Conv
-        x = conv_cls(
-            self.features,
-            kernel_size=self.kernel_size,
-            stride=self.stride,
-            padding=self.padding,
-            use_bias=False,
-            name="conv",
-        )(x)
+        if (
+            self.is_3d
+            and self.kernel_size == 3
+            and _use_banded_conv3d(x.shape[-1], self.features)
+        ):
+            from stereoanywhere_tpu.ops.conv3d_fold import conv3d_folded
+
+            kernel, _ = Conv3dParams(self.features, 3, use_bias=False, name="conv")(
+                x.shape[-1]
+            )
+            x = conv3d_folded(x, kernel, (self.stride,) * 3, self.padding)
+        else:
+            conv_cls = Conv3d if self.is_3d else Conv
+            x = conv_cls(
+                self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                use_bias=False,
+                name="conv",
+            )(x)
         if self.norm == "instance":
             x = instance_norm(x)
         elif self.norm == "batch":

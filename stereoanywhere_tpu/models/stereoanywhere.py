@@ -56,10 +56,24 @@ from stereoanywhere_tpu.ops.volume import apply_bin_masks, gauss_corr_volume
 
 
 class Conv3dClassifier(nn.Module):
-    """Conv3d(C -> 1, k3, p1, no bias) over NDHWC (reference stereoanywhere.py:73-74)."""
+    """Conv3d(C -> 1, k3, p1, no bias) over NDHWC (reference stereoanywhere.py:73-74).
+
+    On accelerators the 1-output-channel conv3d is applied via the banded
+    fold (ops/conv3d_fold.py): XLA's direct lowering left the MXU >99% idle
+    (measured 12.9 ms at 512x512; folded ~0.2 ms)."""
 
     @nn.compact
     def __call__(self, x):
+        from stereoanywhere_tpu.models.layers import Conv3dParams, _use_banded_conv3d
+        from stereoanywhere_tpu.ops.conv3d_fold import conv3d_folded
+
+        if _use_banded_conv3d(x.shape[-1], 1):
+            # lecun_normal matches nn.Conv's default below: the fold/direct
+            # choice must not change random initialization.
+            kernel, _ = Conv3dParams(
+                1, 3, use_bias=False, kernel_init=nn.initializers.lecun_normal(), name="conv"
+            )(x.shape[-1])
+            return conv3d_folded(x, kernel, (1, 1, 1), 1)
         return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False, name="conv")(x)
 
 

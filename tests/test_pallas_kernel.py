@@ -22,3 +22,33 @@ def test_dual_lookup_matches_xla(rng):
     got_s, got_m = dual_lookup_pallas(spyr.levels, mpyr.levels, coords, radius=4, interpret=True)
     np.testing.assert_allclose(np.asarray(got_s), ref_s, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_m), ref_m, rtol=1e-4, atol=1e-5)
+
+
+def test_windowed_gather_matches_xla(rng):
+    """corr_gather.py windowed dynamic-gather kernel, incl. chunked wide
+    levels (Wl > 128) and tiny levels (Wl < 2r+2)."""
+    from stereoanywhere_tpu.ops.corr_lookup import CorrPyramid, lookup_corr_pyramid_pair
+    from stereoanywhere_tpu.ops.pallas.corr_gather import (
+        dual_lookup_windowed,
+        pad_levels_to_lane_multiple,
+    )
+
+    for (b, h, w2, w3) in [(1, 8, 16, 32), (1, 8, 136, 136), (1, 8, 40, 40)]:
+        svol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        mvol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-2, w3 + 2, (b, h, w2)).astype(np.float32))
+        spyr = build_corr_pyramid(svol, 4, 4)
+        mpyr = build_corr_pyramid(mvol, 4, 4)
+        wls = tuple(l.shape[-1] for l in spyr.levels)
+        ref_s, ref_m = lookup_corr_pyramid_pair(
+            CorrPyramid(spyr.levels, 4), CorrPyramid(mpyr.levels, 4), coords
+        )
+        got_s, got_m = dual_lookup_windowed(
+            pad_levels_to_lane_multiple(spyr.levels),
+            pad_levels_to_lane_multiple(mpyr.levels),
+            coords, radius=4, wls=wls, interpret=True,
+        )
+        # atol 5e-5: the chunked masked-sum accumulates in a different order
+        # than the XLA tent contraction.
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-4, atol=5e-5)

@@ -7,6 +7,11 @@ Complements tools/profile_gru.py (loop body) and tools/profile_model.py
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -5,6 +5,11 @@ Usage: python tools/profile_model.py [--size 512] [--iters 4 36]
 """
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np
