@@ -106,6 +106,8 @@ class TrainConfig:
     things_to_freeze: tuple[str, ...] = ("fnet",)
     num_steps: int = 0  # 0 = derive from dataset length * epochs
     seed: int = 1337
+    debug_grad: bool = False  # per-param NaN/Inf gradient census
+    # (reference --debug_grad, train.py:124-127,391-418)
 
 
 @dataclass(frozen=True)

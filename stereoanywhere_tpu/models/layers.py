@@ -323,10 +323,17 @@ class BasicConv(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    deconv: bool = False  # 2-D transposed conv (reference BasicConv deconv=True)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        if (
+        if self.deconv:
+            assert not self.is_3d, "3-D deconv unused by the reference extractors"
+            x = ConvTransposeTorch(
+                self.features, self.kernel_size, self.stride, self.padding,
+                use_bias=False, name="conv",
+            )(x)
+        elif (
             self.is_3d
             and self.kernel_size == 3
             and _use_banded_conv3d(x.shape[-1], self.features)

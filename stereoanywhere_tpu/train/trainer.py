@@ -128,6 +128,14 @@ def make_train_step(
         (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, rng
         )
+        if cfg.debug_grad:
+            # per-parameter NaN/Inf gradient census (reference --debug_grad,
+            # train.py:391-418); one scalar pair per leaf, fetched host-side
+            # by Trainer.grad_census -> nan_params.json/inf_params.json.
+            logs["_grad_census"] = {
+                "nan": jax.tree.map(lambda g: jnp.sum(jnp.isnan(g)).astype(jnp.int32), grads),
+                "inf": jax.tree.map(lambda g: jnp.sum(jnp.isinf(g)).astype(jnp.int32), grads),
+            }
         # NaN-guard (reference nan_to_num on grads, train.py:407)
         grads = jax.tree.map(lambda g: jnp.nan_to_num(g), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -193,7 +201,31 @@ class Trainer:
         batch["mono2"], batch["mono3"] = jax.lax.stop_gradient(mono2), jax.lax.stop_gradient(mono3)
         self._rng, sub = jax.random.split(self._rng)
         self.state, logs = self.train_step(self.state, batch, sub)
+        census = logs.pop("_grad_census", None)
+        if census is not None:
+            self._dump_grad_census(census)
         return logs
+
+    def _dump_grad_census(self, census) -> None:
+        """Write per-parameter NaN/Inf gradient counts to nan_params.json /
+        inf_params.json in the checkpoint dir (reference train.py:391-418);
+        only parameters with nonzero counts are recorded."""
+        import json
+        import os
+
+        def nonzero_map(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            return {
+                jax.tree_util.keystr(path): int(v) for path, v in flat if int(v)
+            }
+
+        nan_map, inf_map = nonzero_map(census["nan"]), nonzero_map(census["inf"])
+        out_dir = self.checkpoint_dir or "."
+        os.makedirs(out_dir, exist_ok=True)
+        for fname, m in (("nan_params.json", nan_map), ("inf_params.json", inf_map)):
+            if m:
+                with open(os.path.join(out_dir, fname), "w") as f:
+                    json.dump({"step": int(self.state.step), "params": m}, f, indent=2)
 
     @property
     def stop_requested(self) -> bool:

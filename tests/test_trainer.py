@@ -83,3 +83,31 @@ def test_freeze_mask_groups():
     assert m["cnet"]["conv1"]["kernel"] is True
     assert m["hourglass_mono"]["x"] is False
     assert m["update_block"]["x"] is True
+
+
+def test_debug_grad_census(tmp_path, rng):
+    """debug_grad=True produces a per-param NaN/Inf census; with finite
+    gradients no census files appear; a poisoned batch yields nan_params.json
+    (reference --debug_grad, train.py:391-418)."""
+    import os
+
+    cfg = TrainConfig(train_iters=1, batch_size=1, debug_grad=True, things_to_freeze=())
+    t = Trainer(
+        StereoAnywhereConfig(volume_corruption_prob=0.0),
+        cfg,
+        total_steps=4,
+        checkpoint_dir=str(tmp_path),
+        sample_shape=(32, 64),
+    )
+    logs = t.step(_batch(rng))
+    assert "_grad_census" not in logs
+    assert not os.path.exists(tmp_path / "nan_params.json")
+
+    bad = _batch(rng)
+    bad["im2_aug"] = bad["im2_aug"].at[0, 0, 0, 0].set(jnp.nan)
+    t.step(bad)
+    assert os.path.exists(tmp_path / "nan_params.json")
+    import json
+
+    census = json.load(open(tmp_path / "nan_params.json"))
+    assert census["params"] and all(v > 0 for v in census["params"].values())
