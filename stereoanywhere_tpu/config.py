@@ -51,6 +51,9 @@ class StereoAnywhereConfig:
 
     # Numerics
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # GRU-loop unroll (largest divisor of iters <= this is used): amortizes
+    # while-loop per-iteration launch overhead on TPU.
+    scan_unroll: int = 4
 
     @property
     def downsample_factor(self) -> int:

@@ -93,11 +93,15 @@ class FeatureEncoder(nn.Module):
     output_dim: int = 256
     norm: str = "instance"
     downsample: int = 2
-    # Fold the two views (stacked on batch) into the channel dim and run
-    # every conv block-diagonally: exact same math (see paired_conv_apply),
-    # ~2x better MXU lane utilization for the full-resolution 64-channel
-    # layers.  Requires an even batch (always true: callers concat [L, R])
-    # and non-batch norm.
+    # Fold the two views (stacked on batch) into the channel dim and run the
+    # 64-channel full-resolution layers block-diagonally: exact same math
+    # (see paired_conv_apply), 2x better MXU lane utilization (64 lanes of a
+    # 128-lane tile would otherwise idle; measured 1.21 -> 0.83 ms per conv
+    # at 512x512).  The views UNFOLD back to the batch dim before layer2: at
+    # 96/128/256 channels the lanes are already >= 75% full unpaired, so the
+    # block-diagonal zeros would only waste FLOPs there (measured layer2_0
+    # paired 2.64 ms vs ~1.4 ms unpaired).  Requires an even batch (always
+    # true: callers concat [L, R]) and non-batch norm.
     paired: bool = True
 
     @nn.compact
@@ -116,17 +120,13 @@ class FeatureEncoder(nn.Module):
 
         x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_0")(x, train)
         x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_1")(x, train)
-        x = ResidualBlock(96, self.norm, 1 + (d > 1), paired=paired, name="layer2_0")(x, train)
-        x = ResidualBlock(96, self.norm, 1, paired=paired, name="layer2_1")(x, train)
-        x = ResidualBlock(128, self.norm, 1 + (d > 0), paired=paired, name="layer3_0")(x, train)
-        x = ResidualBlock(128, self.norm, 1, paired=paired, name="layer3_1")(x, train)
-
         if paired:
-            ko, bo = ParamConv(self.output_dim, 1, name="conv2")(x.shape[-1] // 2)
-            y = paired_conv_apply(x, ko, bo, 1, 0)
-            return jnp.concatenate(
-                [y[..., : self.output_dim], y[..., self.output_dim :]], axis=0
-            )
+            # unfold views back onto the batch axis for the wide layers
+            x = jnp.concatenate([x[..., :64], x[..., 64:]], axis=0)
+        x = ResidualBlock(96, self.norm, 1 + (d > 1), name="layer2_0")(x, train)
+        x = ResidualBlock(96, self.norm, 1, name="layer2_1")(x, train)
+        x = ResidualBlock(128, self.norm, 1 + (d > 0), name="layer3_0")(x, train)
+        x = ResidualBlock(128, self.norm, 1, name="layer3_1")(x, train)
         return Conv(self.output_dim, 1, 1, 0, name="conv2")(x)
 
 

@@ -333,6 +333,17 @@ class BasicConv(nn.Module):
                 self.features, self.kernel_size, self.stride, self.padding,
                 use_bias=False, name="conv",
             )(x)
+        elif self.is_3d and self.kernel_size == 1 and self.stride == 1:
+            # 1x1x1 conv3d == channel matmul.  XLA's conv3d lowering pads the
+            # minor dims (measured 2.6 ms for a 0.27-GFLOP 32->16 matmul at
+            # 64^3); the einsum runs it as a plain MXU contraction.
+            kernel = Conv3dParams(self.features, 1, use_bias=False, name="conv")(
+                x.shape[-1]
+            )[0]
+            x = jnp.einsum(
+                "bdhwc,co->bdhwo", x, kernel[0, 0, 0].astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         elif (
             self.is_3d
             and self.kernel_size == 3

@@ -286,32 +286,51 @@ class StereoAnywhere(nn.Module):
         )
         coords1 = coords0 if cfg.init_disparity_zero else coords0 - scaled_mde2_low
 
-        ScannedStep = nn.scan(
-            RefinementStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=nn.broadcast,
-            out_axes=0,
-            length=iters,
-        )
-        step_mod = ScannedStep(
+        step_kw = dict(
             hidden_dims=tuple(cfg.context_dims),
             n_gru_layers=cfg.n_gru_layers,
             n_downsample=cfg.n_downsample,
             corr_radius=cfg.corr_radius,
-            emit_outputs=not test_mode,
             compute_dtype=cfg.compute_dtype,
-            mask_last_only=iters if test_mode else 0,
-            name="update_block",
         )
         inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)
-        mask_init = jnp.zeros((b, h4, w4, 9 * f * f), cdt)
+        consts = (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0)
 
-        (net_final, coords1, mask_final, _itr), ys = step_mod(
-            (net_init, coords1, mask_init, jnp.int32(0)),
-            (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0),
-        )
+        def make_scan(length, **kw):
+            # unroll amortizes the while-loop's per-iteration kernel-launch
+            # overhead and widens XLA's fusion window across iterations.
+            unroll = max(u for u in range(1, cfg.scan_unroll + 1) if length % u == 0)
+            return nn.scan(
+                RefinementStep,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=nn.broadcast,
+                out_axes=0,
+                length=length,
+                unroll=unroll,
+            )(**step_kw, **kw, name="update_block")
+
+        if test_mode:
+            # iters-1 light steps (no mask head / mask carry), then ONE
+            # unscanned step under the same scope computing the mask the
+            # convex upsample consumes (see RefinementStep docstring).
+            carry = (net_init, coords1)
+            if iters > 1:
+                step_scan = make_scan(iters - 1, emit_outputs=False, compute_mask=False)
+                carry, _ = step_scan(carry, consts)
+                last_step = RefinementStep(
+                    **step_kw, emit_outputs=False, compute_mask=True
+                )
+                nn.share_scope(last_step, step_scan)
+            else:
+                last_step = RefinementStep(
+                    **step_kw, emit_outputs=False, compute_mask=True, name="update_block"
+                )
+            (net_final, coords1), mask_final = last_step(carry, consts)
+        else:
+            step_mod = make_scan(iters, emit_outputs=True, compute_mask=True)
+            (net_final, coords1), ys = step_mod((net_init, coords1), consts)
 
         result: dict[str, Any] = {}
         if test_mode:

@@ -266,10 +266,18 @@ class RefinementStep(nn.Module):
     stereoanywhere.py:267-294 loop body).
 
     Designed for `nn.scan(RefinementStep, variable_broadcast='params',
-    in_axes=nn.broadcast)`: carry = (net tuple, coords1, last mask);
+    in_axes=nn.broadcast)`: carry = (net tuple, coords1);
     consts = (stereo pyramid levels, mono pyramid levels, inp_list, coords0).
     Submodule names (gru08/encoder/flow_head/mask_*) are identical to
     MultiUpdateBlock's so the torch converter path is `update_block/...`.
+
+    Test-mode structure (the reference computes the upsample mask every
+    iteration but only consumes the last one, stereoanywhere.py:286-287):
+    the scan body runs with compute_mask=False — the mask head, the (B,
+    H/4, W/4, 144) mask carry slot and the iteration-counter cond this
+    replaces all cost real per-iteration HBM traffic — and the FINAL
+    iteration runs unscanned with compute_mask=True under the same scope
+    (nn.share_scope), returning the mask as its output.
     """
 
     hidden_dims: Sequence[int] = (128, 128, 128)
@@ -278,10 +286,7 @@ class RefinementStep(nn.Module):
     corr_radius: int = 4
     emit_outputs: bool = True  # False in test mode: no per-iter ys
     compute_dtype: str = "float32"
-    mask_last_only: int = 0  # >0: compute the upsample-mask head only at
-    # iteration mask_last_only-1 (test mode: the reference computes the mask
-    # every iteration but only the last one is consumed, test.py:225 path /
-    # stereoanywhere.py:286-287) — skipping the other 31 saves ~2 ms at 512².
+    compute_mask: bool = True  # False: skip the convex-upsample mask head
 
     @nn.compact
     def __call__(self, carry, consts):
@@ -292,7 +297,7 @@ class RefinementStep(nn.Module):
             lookup_corr_pyramid_pair,
         )
 
-        net, coords1, _prev_mask, itr = carry
+        net, coords1 = carry
         stereo_levels, mono_levels, inp, coords0 = consts
         radius = self.corr_radius
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -327,40 +332,20 @@ class RefinementStep(nn.Module):
             net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
 
         delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
-        factor = 2 ** self.n_downsample
-        # Mask-head parameters created OUTSIDE the cond below (same flax
-        # paths as Conv(name=...): mask_0/kernel, mask_2/bias, ...), so the
-        # cond branches stay pure jax.
-        k0, b0 = _ConvParams(256, 3, name="mask_0")(net[0].shape[-1])
-        k2, b2 = _ConvParams(factor * factor * 9, 1, name="mask_2")(256)
 
-        def compute_mask(x):
-            y = jax.lax.conv_general_dilated(
-                x, k0.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            y = jax.nn.relu(y + b0.astype(y.dtype))
-            y = jax.lax.conv_general_dilated(
-                y, k2.astype(y.dtype), (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            return (0.25 * (y + b2.astype(y.dtype))).astype(cdt)
-
-        if self.mask_last_only > 0 and not self.emit_outputs:
-            # only the final iteration's mask feeds the convex upsample
-            mask = jax.lax.cond(
-                itr == self.mask_last_only - 1,
-                compute_mask,
-                lambda x: jnp.zeros(x.shape[:3] + (factor * factor * 9,), cdt),
-                net[0],
-            )
-        else:
-            mask = compute_mask(net[0])
+        mask = None
+        if self.compute_mask or self.emit_outputs:
+            factor = 2 ** self.n_downsample
+            m = jax.nn.relu(Conv(256, 3, 1, 1, name="mask_0")(net[0]))
+            mask = (0.25 * Conv(factor * factor * 9, 1, 1, 0, name="mask_2")(m)).astype(cdt)
 
         # epipolar projection: only the x-delta is applied (ref :277)
         coords1_new = coords1 + delta_flow[..., 0:1].astype(jnp.float32)
         # keep carry dtypes stable across iterations (params may be f32 while
         # the carry was initialized in the compute dtype, or vice versa)
         net = [n.astype(cdt) for n in net]
-        out = (coords1_new - coords0, mask) if self.emit_outputs else 0
-        return (tuple(net), coords1_new, mask, itr + 1), out
+        if self.emit_outputs:
+            out = (coords1_new - coords0, mask)
+        else:
+            out = mask if self.compute_mask else 0
+        return (tuple(net), coords1_new), out

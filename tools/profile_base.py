@@ -66,7 +66,7 @@ def main():
 
         def fn(eps, *a):
             out = module.apply(variables, a[0] + jnp.asarray(eps, a[0].dtype), *a[1:], **apply_kw)
-            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out))
+            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out) if hasattr(l, "astype"))
 
         t = chained_timer(fn, *xs, n_chain=n_chain)
         results[name] = t
@@ -75,7 +75,7 @@ def main():
     def tfn(name, fn, *xs, n_chain=32):
         def wrapped(eps, *a):
             out = fn(a[0] + jnp.asarray(eps, a[0].dtype), *a[1:])
-            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out))
+            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out) if hasattr(l, "astype"))
 
         t = chained_timer(wrapped, *xs, n_chain=n_chain)
         results[name] = t
@@ -109,17 +109,13 @@ def main():
 
     masked = arr(b, w4, h4, w4, 8)
     fmde = [arr(b, h4 // (2 ** i), w4 // (2 ** i), 1) for i in range(4)]
-    tmod("hourglass_mono", Hourglass(8, 16), masked, fmde, fmde, n_chain=8)
+    tmod("hourglass_mono", Hourglass(8, 8), masked, fmde, fmde, n_chain=8)
 
-    agg = arr(b, h4, w4, w4, 16)
-    from flax import linen as nn
+    # the REAL classifier module (banded-fold path on TPU), shipped channels
+    from stereoanywhere_tpu.models.stereoanywhere import Conv3dClassifier
 
-    class Cls(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            return nn.Conv(1, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False)(x)
-
-    tmod("classifier conv3d x2 (incl conf)", Cls(), agg, n_chain=8)
+    agg = arr(b, w4, h4, w4, 8)
+    tmod("classifier conv3d x2 (incl conf)", Conv3dClassifier(), agg, n_chain=8)
 
     agg_disp = arr(b, h4, w4, w4, dtype=jnp.float32)
     tfn("soft-argmax L+R + conf L+R",
