@@ -101,3 +101,25 @@ def test_tile_parallel_inference_close_to_monolithic(rng):
     a = tiled[0, 8:-8, :, 0].ravel()
     b = mono[0, 8:-8, :, 0].ravel()
     assert np.isfinite(a).all()
+
+
+def test_ring_corr_matches_single_device(rng):
+    """Ring-sharded all-pairs correlation over 8 virtual devices == the
+    monolithic einsum volume (exact blockwise decomposition)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from stereoanywhere_tpu.ops.volume import all_pairs_correlation
+    from stereoanywhere_tpu.parallel.ring_corr import sharded_correlation_volume
+
+    b, h, w, c = 1, 4, 32, 16
+    fl = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+    fr = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+
+    want = np.asarray(all_pairs_correlation(fl, fr))
+
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("data", "tile"))
+    got = np.asarray(sharded_correlation_volume(fl, fr, mesh, axis="tile"))
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
