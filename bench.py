@@ -54,8 +54,14 @@ def main():
     @jax.jit
     def chained(v, im2, im3, m2, m3):
         def body(_, acc):
-            # data dependency on previous output -> strictly serial execution
-            d = one(v, im2 + acc * 1e-12, im3, m2, m3)
+            # data dependency on previous output -> strictly serial execution.
+            # EVERY input is perturbed: perturbing only im2 lets XLA hoist
+            # the whole mono-volume branch (cnet/hourglass/classifiers/LSQ,
+            # which depend only on m2/m3) out of the chain loop and amortize
+            # it — under-reporting the single-forward latency by ~20%
+            # (verified with a device trace).
+            eps = acc * 1e-12
+            d = one(v, im2 + eps, im3 + eps, m2 + eps, m3 + eps)
             return jnp.mean(d)
 
         return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0))

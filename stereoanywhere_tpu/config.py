@@ -51,9 +51,10 @@ class StereoAnywhereConfig:
 
     # Numerics
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
-    # GRU-loop unroll (largest divisor of iters <= this is used): amortizes
-    # while-loop per-iteration launch overhead on TPU.
-    scan_unroll: int = 4
+    # GRU-loop unroll (largest divisor of iters <= this is used).  Measured
+    # flat on v5e at 512^2 (the loop is not dispatch-bound) while multiplying
+    # compile time; keep 1 unless re-measuring on new hardware.
+    scan_unroll: int = 1
 
     @property
     def downsample_factor(self) -> int:

@@ -64,20 +64,15 @@ def main():
             lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, variables
         )
 
-        def fn(eps, *a):
-            out = module.apply(variables, a[0] + jnp.asarray(eps, a[0].dtype), *a[1:], **apply_kw)
-            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out) if hasattr(l, "astype"))
+        def fn(*a):
+            return module.apply(variables, *a, **apply_kw)
 
         t = chained_timer(fn, *xs, n_chain=n_chain)
         results[name] = t
         print(f"{name:44s} {t*1e3:8.3f} ms")
 
     def tfn(name, fn, *xs, n_chain=32):
-        def wrapped(eps, *a):
-            out = fn(a[0] + jnp.asarray(eps, a[0].dtype), *a[1:])
-            return sum(jnp.mean(l.astype(jnp.float32)) for l in jax.tree.leaves(out) if hasattr(l, "astype"))
-
-        t = chained_timer(wrapped, *xs, n_chain=n_chain)
+        t = chained_timer(fn, *xs, n_chain=n_chain)
         results[name] = t
         print(f"{name:44s} {t*1e3:8.3f} ms")
 

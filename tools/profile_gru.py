@@ -71,8 +71,8 @@ def main():
             lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, variables
         )
 
-        def fn(eps, *a):
-            out = module.apply(variables, a[0] + jnp.asarray(eps, a[0].dtype), *a[1:])
+        def fn(*a):
+            out = module.apply(variables, *a)
             leaves = jax.tree.leaves(out)
             return sum(jnp.mean(l.astype(jnp.float32)) for l in leaves)
 
@@ -82,18 +82,16 @@ def main():
         return t
 
     # full step body (lookup + grus + heads), as scanned in the model
-    step = RefinementStep(compute_dtype=args.dtype, emit_outputs=False)
+    step = RefinementStep(compute_dtype=args.dtype, emit_outputs=False, compute_mask=False)
     coords0 = jnp.zeros((b, h4, w4, 1), jnp.float32)
     coords1 = coords[..., None]
-    carry = (net, coords1, arr(b, h4, w4, 144), jnp.int32(0))
+    carry = (net, coords1)
     consts = (levels, levels, inp, coords0)
     variables = jax.jit(lambda k: step.init(k, carry, consts))(jax.random.PRNGKey(0))
     variables = jax.tree.map(lambda x: x.astype(cdt) if x.dtype == jnp.float32 else x, variables)
 
-    def full_fn(eps, carry, consts):
-        (nets, c1, m, _i), _ = step.apply(
-            variables, (carry[0], carry[1] + eps, carry[2], carry[3]), consts
-        )
+    def full_fn(carry, consts):
+        (nets, c1), _ = step.apply(variables, carry, consts)
         return sum(jnp.mean(n.astype(jnp.float32)) for n in nets) + jnp.mean(c1)
 
     t_full = chained_timer(full_fn, carry, consts, n_chain=64)
@@ -116,9 +114,9 @@ def main():
     timeit("mask head (128->256->144)", MaskHead(), net[0])
 
     # lookups
-    def lk(eps, coords, levels):
+    def lk(coords, levels):
         pyr = CorrPyramid(levels, 4)
-        return jnp.mean(lookup_corr_pyramid(pyr, coords + eps).astype(jnp.float32))
+        return jnp.mean(lookup_corr_pyramid(pyr, coords).astype(jnp.float32))
 
     t = chained_timer(lk, coords, levels, n_chain=128)
     results["corr lookup (1 volume)"] = t

@@ -51,8 +51,8 @@ def main():
 
     times = {}
     for it in args.iters:
-        def fwd(eps, im2, im3, m2, m3, _it=it):
-            return model.apply(variables, im2 + eps, im3, m2, m3, iters=_it, test_mode=True)[
+        def fwd(im2, im3, m2, m3, _it=it):
+            return model.apply(variables, im2, im3, m2, m3, iters=_it, test_mode=True)[
                 "disparity"
             ]
 
