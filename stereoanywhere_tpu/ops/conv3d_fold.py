@@ -23,9 +23,12 @@ fold is BLOCKED: the folded axis is split into nb windows of block_w (+ k-1
 halo, overlapping reads), the windows are stacked into the batch dim, and
 ONE shared banded kernel of shape (kd, kh, (block_w+k-1)*ci, (block_w/sw)*co)
 serves every window (the band is shift-invariant).  block_w trades band
-waste (k/(block_w+k-1): 6x at 16 vs 11.3x at 32 for ci=8) against lane
-fill (out-ch (block_w/sw)*co should be >= 128): 16 with ci=co=8 gives
-K=1296, N=128 — full lanes at half the MXU cycles of 32 (trace-verified).
+waste (k/(block_w+k-1): 6x at 16 vs 11.3x at 32 for ci=8) against XLA's
+willingness to fuse the window gather into the conv: at block 16 (nb=8
+windows) the halved MXU cycles were confirmed by trace (86.8 -> 43 GF) but
+XLA materialized the 8-slice window stack as standalone 75 MB concatenates
+(+1.6 ms), a net LOSS; at block 32 (nb<=4) the gather fuses.  32 is the
+trace-verified optimum on v5e.
 
 Measured (v5e, bf16, 128^3 volume): classifier 8->1: 12.9 ms -> ~0.2 ms;
 final_agg 8->8: 3.5 ms -> ~0.4 ms.  Exact same multiply-adds as the direct
@@ -37,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_block(w: int, target: int = 16) -> int:
+def _pick_block(w: int, target: int = 32) -> int:
     """Largest divisor of w that is <= max(target, smallest divisor >= 8)."""
     best = w
     for d in range(1, w + 1):

@@ -44,11 +44,11 @@ def test_folded_grads_match(rng):
 
 
 def test_pick_block():
-    assert _pick_block(128) == 16
-    assert _pick_block(312) == 13
+    assert _pick_block(128) == 32
+    assert _pick_block(312) == 26
     assert _pick_block(8) == 8
     assert _pick_block(4) == 4   # no divisor >= 8: whole axis, nb=1
-    assert _pick_block(40) == 10
+    assert _pick_block(40) == 20
     for w in (8, 16, 24, 40, 48, 96, 128, 312, 752):
         b = _pick_block(w)
         assert w % b == 0
