@@ -241,6 +241,49 @@ def _tree_leaves(tree):
         yield tree
 
 
+def cmd_infer(args):
+    """File-pair inference: left/right images -> disparity .npy + colormapped
+    PNG (reference demo/fast_demo.py:31-178 CLI surface)."""
+    import numpy as np
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline
+    from stereoanywhere_tpu.utils.visualization import colorize_disparity
+
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    _, variables = _load_stereo(args.checkpoint, cfg)
+    mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+    pipe = StereoAnywherePipeline(
+        variables, mono_vars, cfg, iters=args.iters, two_stage=args.two_stage
+    )
+
+    def load(path):
+        im = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        if args.iscale != 1.0:
+            h, w = im.shape[:2]
+            im = np.asarray(
+                Image.fromarray((im * 255).astype(np.uint8)).resize(
+                    (int(w / args.iscale), int(h / args.iscale)), Image.BILINEAR
+                ),
+                np.float32,
+            ) / 255.0
+        return jnp.asarray(im)[None]
+
+    im2, im3 = load(args.left), load(args.right)
+    disp = np.asarray(pipe(im2, im3))[0, ..., 0] * args.iscale
+
+    os.makedirs(args.output, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.left))[0]
+    np.save(os.path.join(args.output, f"{stem}_disp.npy"), disp)
+    Image.fromarray(colorize_disparity(disp)).save(
+        os.path.join(args.output, f"{stem}_disp.png")
+    )
+    print(f"disparity range [{disp.min():.2f}, {disp.max():.2f}] -> {args.output}")
+
+
 def cmd_serve(args):
     from stereoanywhere_tpu.config import StereoAnywhereConfig
     from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline, serve_http
@@ -307,6 +350,16 @@ def main(argv=None):
     pm.add_argument("--datapath", required=True)
     pm.add_argument("--outdir", required=True)
     pm.set_defaults(fn=cmd_precompute_mono)
+
+    pi = sub.add_parser("infer", help="file-pair inference -> .npy + colormap PNG")
+    common(pi)
+    pi.add_argument("left")
+    pi.add_argument("right")
+    pi.add_argument("-o", "--output", default=".")
+    pi.add_argument("--iscale", type=float, default=1.0)
+    pi.add_argument("--two-stage", action="store_true",
+                    help="mono/stereo as separate programs (lower peak HBM)")
+    pi.set_defaults(fn=cmd_infer)
 
     ps = sub.add_parser("serve")
     common(ps)

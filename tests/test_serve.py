@@ -86,3 +86,24 @@ def test_vol_downsample_config(rng):
     out = model.apply(v, *args, iters=1, test_mode=True)
     d = np.asarray(out["disparity"])
     assert d.shape == (1, 64, 64, 1) and np.isfinite(d).all()
+
+
+def test_cli_infer_file_pair(tmp_path, rng):
+    """`cli infer left right -o out` writes a finite disparity .npy and a
+    colormap PNG (reference demo/fast_demo.py CLI surface)."""
+    from PIL import Image
+
+    from stereoanywhere_tpu.cli import main
+
+    for name in ("left.png", "right.png"):
+        Image.fromarray(
+            rng.integers(0, 255, (32, 64, 3)).astype(np.uint8)
+        ).save(tmp_path / name)
+    out = tmp_path / "out"
+    main([
+        "infer", str(tmp_path / "left.png"), str(tmp_path / "right.png"),
+        "-o", str(out), "--iters", "2", "--mono-encoder", "vits",
+    ])
+    d = np.load(out / "left_disp.npy")
+    assert d.shape == (32, 64) and np.isfinite(d).all()
+    assert (out / "left_disp.png").exists()
