@@ -199,6 +199,61 @@ def paired_conv_apply(
     return y
 
 
+class SmallCinConv(nn.Module):
+    """Conv whose INPUT channel count is tiny (2-4), lowered to explicit
+    im2col (conv_general_dilated_patches) + MXU matmul on accelerators.
+
+    XLA's direct lowering of e.g. a 7x7 conv on a 3-channel 512^2 image ran
+    at 4% MXU / 58 GB/s (trace: cnet conv1 0.62 ms for 5.1 GFLOP); the
+    explicit patch extraction is bandwidth-bound (~0.2 ms) and the matmul
+    (k*k*Cin contraction lanes) runs at full rate.  Param layout identical
+    to the Conv factory (kernel (k,k,Cin,Co) + bias), so checkpoints and
+    converters are unaffected.  CPU keeps the direct conv (XLA:CPU is fine
+    and the golden tests compare against torch there).
+
+    STATUS: measured NET-NEGATIVE end-to-end on v5e (67 -> 71 ms at 512^2)
+    — XLA materializes the 49-slice patch extraction as standalone copies,
+    the same failure mode as the banded fold's 8-window stack.  Kept as a
+    tested building block (exactness covered in tests/test_conv3d_fold.py)
+    but NOT wired into the model; the direct conv stands until a Pallas
+    patch-extract kernel exists.
+    """
+
+    features: int
+    kernel_size: int = 7
+    stride: int = 1
+    padding: int = 3
+    use_im2col: bool | None = None  # None: accelerator-only
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal_fan_out(), (k, k, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        use = (
+            jax.default_backend() != "cpu" if self.use_im2col is None else self.use_im2col
+        )
+        if not use:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (s, s), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(y.dtype)
+        patches = jax.lax.conv_general_dilated_patches(
+            x, (k, k), (s, s), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (..., Cin*k*k), channel-major
+        km = kernel.transpose(2, 0, 1, 3).reshape(cin * k * k, self.features)
+        y = jnp.einsum(
+            "bhwf,fo->bhwo", patches, km.astype(patches.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        return y + bias.astype(y.dtype)
+
+
 def Conv3d(
     features: int,
     kernel_size: int = 3,

@@ -88,3 +88,24 @@ def test_fold_and_direct_paths_share_init_and_output(rng):
         np.testing.assert_allclose(
             outs[(name, True)], outs[(name, False)], rtol=2e-5, atol=2e-5
         )
+
+
+def test_small_cin_conv_im2col_matches_direct(rng):
+    """SmallCinConv's im2col lowering == direct conv, identical params."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.models.layers import SmallCinConv
+
+    for cin, k, s in [(3, 7, 1), (2, 7, 1), (3, 7, 2), (1, 7, 1)]:
+        x = jnp.asarray(rng.standard_normal((2, 20, 24, cin)).astype(np.float32))
+        a = SmallCinConv(16, k, s, k // 2, use_im2col=False)
+        b = SmallCinConv(16, k, s, k // 2, use_im2col=True)
+        v = a.init(jax.random.PRNGKey(1), x)
+        for pa, pb in zip(
+            jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(b.init(jax.random.PRNGKey(1), x))
+        ):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+        np.testing.assert_allclose(
+            np.asarray(a.apply(v, x)), np.asarray(b.apply(v, x)), rtol=2e-5, atol=2e-5
+        )
