@@ -26,7 +26,9 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> float:
+def chained_timer(
+    fn: Callable, *args, n_chain: int = 8, repeats: int = 3, const_args=()
+) -> float:
     """Median per-call latency of `fn(*args) -> pytree`, measured by chaining
     n_chain serial executions inside one jitted fori_loop.
 
@@ -37,6 +39,11 @@ def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> fl
     (cnet, hourglass, classifiers, LSQ) across the chain and under-reported
     the forward latency by ~20% (caught by a device trace: profiled base
     26.4 ms vs chained-fit 13.5 ms).
+
+    `const_args` (e.g. model variables) are passed to fn AHEAD of `args` as
+    real jit arguments, un-perturbed: closing over large pytrees embeds them
+    as HLO constants, which bloats (or outright rejects — HTTP 413 on the
+    remote runtime at 334M params) the compile payload.
     """
     import jax
     import jax.numpy as jnp
@@ -47,10 +54,10 @@ def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> fl
         return a
 
     @jax.jit
-    def chained(*a):
+    def chained(c, *a):
         def body(_, acc):
             eps = acc * jnp.float32(1e-12)
-            out = fn(*jax.tree.map(lambda x: perturb(x, eps), a))
+            out = fn(*c, *jax.tree.map(lambda x: perturb(x, eps), a))
             return acc + sum(
                 jnp.mean(l.astype(jnp.float32))
                 for l in jax.tree.leaves(out)
@@ -61,7 +68,7 @@ def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> fl
 
     triv = jax.jit(lambda x: x + 1)
     float(triv(jnp.float32(0)))
-    float(chained(*args))  # compile + warm
+    float(chained(const_args, *args))  # compile + warm
 
     rtts = []
     for _ in range(3):
@@ -73,6 +80,6 @@ def chained_timer(fn: Callable, *args, n_chain: int = 8, repeats: int = 3) -> fl
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(chained(*args))
+        float(chained(const_args, *args))
         times.append(time.perf_counter() - t0)
     return max(float(np.median(times)) - rtt, 0.0) / n_chain
