@@ -183,6 +183,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
+        # (A LayerNorm optimization_barrier was tried here — the trace shows
+        # Dense matmuls fused into LN stats reduces at ~83 TF/s — but made
+        # no end-to-end difference; not worth the graph noise.)
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
