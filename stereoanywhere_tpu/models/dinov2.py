@@ -3,9 +3,9 @@
 Reimplements the capabilities of reference models/depth_anything_v2/dinov2.py
 (DinoVisionTransformer, :44-336) TPU-first:
 
-- attention via `jax.nn.dot_product_attention` (XLA fuses to an MXU-friendly
-  kernel; replaces the reference's optional xformers memory_efficient_attention,
-  reference dinov2_layers/attention.py:65-82),
+- attention via the Pallas TPU flash-attention kernel (3.5x XLA's
+  materialized-softmax path at ViT-L/518^2; replaces the reference's optional
+  xformers memory_efficient_attention, reference dinov2_layers/attention.py:65-82),
 - static-shape pos-embed bicubic interpolation traced per input size,
 - blocks iterated in Python (24 layers; XLA pipelines them) — the weights
   differ per layer so scan-over-layers would need stacked params; the
@@ -92,7 +92,7 @@ def _mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     materializes the (B, H, T, T) probability matrix (240 MB f32 per ViT-L
     layer at 518^2) and streams it through softmax: device-trace showed
     ~1.1 ms/layer of pure softmax HBM traffic, ~26 ms of the 65 ms DAv2
-    forward.  The sequence is padded to a 128-multiple with segment-id
+    forward.  The sequence is padded to a 512-multiple with segment-id
     masking (padded tokens form their own segment, so real tokens never
     attend to them); padded query rows are sliced off.
     CPU keeps the XLA path (golden tests compare against torch there).
