@@ -37,6 +37,10 @@ class StereoAnywhereConfig:
     vol_downsample: int = 0
     use_aggregate_stereo_vol: bool = False
     use_aggregate_mono_vol: bool = True
+    # Lane-folded hourglass layout (B,W3,H,W2*C) — exact same math, removes
+    # the 16x lane padding of C=8 NDHWC tensors (ops/folded.py).  Off only
+    # for debugging layout-sensitive numerics.
+    hourglass_folded: bool = True
 
     # Mirror handling
     use_truncate_vol: bool = True

@@ -36,7 +36,7 @@ class DoubleFeatureAtt(nn.Module):
     padding: int = 1
 
     @nn.compact
-    def __call__(self, cv, feat_left, feat_right):
+    def __call__(self, cv, feat_left, feat_right, folded_w: int | None = None):
         mid = max(32, feat_left.shape[-1] // 2)
         att_l = BasicConv(
             mid, norm="instance", act="lrelu",
@@ -50,6 +50,28 @@ class DoubleFeatureAtt(nn.Module):
             name="feat_att_right_0",
         )(feat_right)
         att_r = Conv(self.cv_features, 1, 1, 0, name="feat_att_right_1")(att_r)
+
+        if folded_w is not None:
+            # cv is lane-folded (B, W3, H, W2*C); same gating math without a
+            # lane-padded 5-D intermediate (ops/folded.py).
+            from stereoanywhere_tpu.ops.folded import lane_broadcast_c, resize_folded
+
+            c = self.cv_features
+            gl = jax.nn.sigmoid(att_l)  # (B, Ha, Wl, C)
+            gr = jax.nn.sigmoid(att_r).transpose(0, 2, 1, 3)  # (B, Dr, Ha, C)
+            b, ha, wl, _ = gl.shape
+            same = (
+                gr.shape[1] == cv.shape[1] and ha == cv.shape[2] and wl == folded_w
+            )
+            if same:
+                l_f = gl.reshape(b, ha, wl * c)[:, None]  # (B,1,H,W2*C)
+                r_f = lane_broadcast_c(gr, wl)  # (B,W3,H,W2*C)
+                return cv * l_f * r_f
+            gate = gl.reshape(b, ha, wl * c)[:, None] * lane_broadcast_c(gr, wl)
+            gate = resize_folded(
+                gate, (cv.shape[1], cv.shape[2], folded_w), w=wl, c=c
+            )
+            return gate * cv
 
         # left: (B,H,W2,C) -> (B, 1, H, W2, C); right: (B,H,W3,C) -> (B, W3, H, 1, C)
         gate = jax.nn.sigmoid(att_l)[:, None, :, :, :] * jax.nn.sigmoid(att_r).transpose(0, 2, 1, 3)[:, :, :, None, :]
@@ -103,6 +125,28 @@ class _SplitConcatConv1(nn.Module):
         return jax.nn.leaky_relu(y, negative_slope=0.01)
 
 
+class _SplitConv1Folded(nn.Module):
+    """BasicConv(k=1, instance-norm, lrelu) over a conceptual channel concat
+    [a, b] of two LANE-FOLDED volumes (ops/folded.py), computed as
+    conv(a, k[:ca]) + conv(b, k[ca:]): the interleaved folded concat is never
+    materialized.  Parameter layout identical to BasicConv / _SplitConcatConv1
+    (conv/kernel (1,1,1, ca+cb, cout)).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array, w: int, ca: int, cb: int) -> jax.Array:
+        from stereoanywhere_tpu.ops.folded import conv1x1x1_folded, instance_norm_folded
+
+        kernel = _Kernel3d(self.features, name="conv")(ca + cb)
+        y = conv1x1x1_folded(a, kernel[..., :ca, :], w=w) + conv1x1x1_folded(
+            b, kernel[..., ca:, :], w=w
+        )
+        y = instance_norm_folded(y, self.features)
+        return jax.nn.leaky_relu(y, negative_slope=0.01)
+
+
 class Hourglass(nn.Module):
     """3-level 3-D encoder-decoder over the masked cost volume
     (reference hourglass.py:13-91).
@@ -118,9 +162,12 @@ class Hourglass(nn.Module):
     att_kernel_size: int = 3
     att_stride: int = 1
     att_padding: int = 1
+    folded: bool = False  # x is lane-folded (B, W3, H, W2*C) in and out
 
     @nn.compact
     def __call__(self, x, features_left, features_right):
+        if self.folded:
+            return self._forward_folded(x, features_left, features_right)
         ns = len(self.feature_channels)  # number_of_scales = 4
         cin = self.in_features
         original = x
@@ -166,5 +213,61 @@ class Hourglass(nn.Module):
         x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x)
         x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(
             x, features_left[0], features_right[0]
+        )
+        return x
+
+    def _forward_folded(self, x, features_left, features_right):
+        """Same network on a lane-folded volume (B, W3, H, W2*C) — identical
+        parameters and multiply-adds, zero lane-padding waste (ops/folded.py;
+        the unfolded layout pads C=8 tensors 16x, 4.3 GB per full-resolution
+        tensor at 1024x1024)."""
+        from stereoanywhere_tpu.ops.folded import resize_folded
+
+        ns = len(self.feature_channels)
+        cin = self.in_features
+        w0 = x.shape[-1] // cin
+        original = x
+
+        att_kw = dict(
+            kernel_size=self.att_kernel_size, stride=self.att_stride, padding=self.att_padding
+        )
+
+        down = []  # (tensor, w, c) per level
+        cur_w, cur_c = w0, cin
+        for i in range(ns - 1):
+            cout = cin * (2 * (i + 1))
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=2, name=f"down_layers_{i}_0")(x, folded_w=cur_w)
+            cur_w //= 2
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"down_layers_{i}_1")(x, folded_w=cur_w)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_{i}", **att_kw)(
+                x, features_left[i + 1], features_right[i + 1], folded_w=cur_w
+            )
+            cur_c = cout
+            down.append((x, cur_w, cur_c))
+
+        # Upsample + aggregate, stored-feature quirk preserved (see above).
+        for i in range(ns - 2):
+            cout = cin * (2 * (ns - i - 2))
+            skip, w_s, c_s = down[ns - 3 - i]
+            src, w_u, c_u = down[ns - 2 - i]
+            x_up = resize_folded(
+                src, (skip.shape[1], skip.shape[2], w_s), w=w_u, c=c_u
+            )
+            x = _SplitConv1Folded(cout, name=f"agg_layers_{i}_0")(x_up, skip, w_s, c_u, c_s)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_1")(x, folded_w=w_s)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_2")(x, folded_w=w_s)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_up_{i}", **att_kw)(
+                x, features_left[ns - 2 - i], features_right[ns - 2 - i], folded_w=w_s
+            )
+            last_w, last_c = w_s, cout
+
+        x_up = resize_folded(
+            x, (original.shape[1], original.shape[2], w0), w=last_w, c=last_c
+        )
+        x = _SplitConv1Folded(cin, name="final_agg_0")(original, x_up, w0, cin, last_c)
+        x = BasicConv(cin, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_1")(x, folded_w=w0)
+        x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x, folded_w=w0)
+        x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(
+            x, features_left[0], features_right[0], folded_w=w0
         )
         return x

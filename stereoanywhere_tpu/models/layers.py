@@ -381,7 +381,27 @@ class BasicConv(nn.Module):
     deconv: bool = False  # 2-D transposed conv (reference BasicConv deconv=True)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, folded_w: int | None = None) -> jax.Array:
+        if folded_w is not None:
+            # Lane-folded 3-D path: x is (B, D, H, W*Ci) (ops/folded.py) —
+            # avoids the 16x lane padding of materialized low-channel NDHWC
+            # tensors.  Same parameters as every other branch.
+            assert self.is_3d and not self.deconv and self.norm in ("instance", "none")
+            from stereoanywhere_tpu.ops.folded import (
+                conv3d_folded_io,
+                instance_norm_folded,
+            )
+
+            ci = x.shape[-1] // folded_w
+            kernel, _ = Conv3dParams(
+                self.features, self.kernel_size, use_bias=False, name="conv"
+            )(ci)
+            x = conv3d_folded_io(
+                x, kernel, (self.stride,) * 3, self.padding, w=folded_w
+            )
+            if self.norm == "instance":
+                x = instance_norm_folded(x, self.features)
+            return _ACTS[self.act](x)
         if self.deconv:
             assert not self.is_3d, "3-D deconv unused by the reference extractors"
             x = ConvTransposeTorch(

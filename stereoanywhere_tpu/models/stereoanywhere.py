@@ -52,6 +52,7 @@ from stereoanywhere_tpu.ops.interp import (
     resize_nearest,
     resize_trilinear_align_corners,
 )
+from stereoanywhere_tpu.ops.folded import build_masked_volume_folded, unfold
 from stereoanywhere_tpu.ops.volume import apply_bin_masks, gauss_corr_volume
 
 
@@ -63,10 +64,25 @@ class Conv3dClassifier(nn.Module):
     (measured 12.9 ms at 512x512; folded ~0.2 ms)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, folded_w: int | None = None):
         from stereoanywhere_tpu.models.layers import Conv3dParams, _use_banded_conv3d
         from stereoanywhere_tpu.ops.conv3d_fold import conv3d_folded
 
+        if folded_w is not None:
+            # x is lane-folded (B, W3, H, W2*C).  The torch kernel axes were
+            # trained in (H, W2, W3) order (unfolded path below): permuting
+            # the KERNEL spatial axes to (W3, H, W2) instead of transposing
+            # the data gives the identical convolution with the volume left
+            # in hourglass order.  Returns (B, W3, H, W2).
+            from stereoanywhere_tpu.ops.folded import conv3d_folded_io
+
+            ci = x.shape[-1] // folded_w
+            kernel, _ = Conv3dParams(
+                1, 3, use_bias=False, kernel_init=nn.initializers.lecun_normal(), name="conv"
+            )(ci)
+            return conv3d_folded_io(
+                x, kernel.transpose(2, 0, 1, 3, 4), (1, 1, 1), 1, w=folded_w
+            )
         if _use_banded_conv3d(x.shape[-1], 1):
             # lecun_normal matches nn.Conv's default below: the fold/direct
             # choice must not change random initialization.
@@ -170,14 +186,28 @@ class StereoAnywhere(nn.Module):
         # --- optional stereo-volume aggregation (ref :147-159; default OFF,
         # the released checkpoint aggregates only the mono volume) ----------
         if cfg.use_aggregate_stereo_vol:
-            masked_stereo = apply_bin_masks(
-                stereo_vol.astype(jnp.float32), left_masks, right_masks
-            ).transpose(0, 3, 1, 2, 4).astype(cdt)
-            agg_s = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_stereo")(
-                masked_stereo, fmde2, fmde3
-            )
-            agg_s = agg_s.transpose(0, 2, 3, 1, 4)
-            agg_disp_stereo = Conv3dClassifier(name="classifier_stereo")(agg_s).astype(jnp.float32)[..., 0]
+            if cfg.hourglass_folded:
+                masked_stereo = build_masked_volume_folded(
+                    stereo_vol.astype(jnp.float32), left_masks, right_masks, jnp.float32
+                ).astype(cdt)
+                agg_s = Hourglass(
+                    cfg.vol_n_masks, cfg.volume_channels, folded=True, name="hourglass_stereo"
+                )(masked_stereo, fmde2, fmde3)
+                w2_vol = left_masks.shape[2]
+                agg_disp_stereo = (
+                    Conv3dClassifier(name="classifier_stereo")(agg_s, folded_w=w2_vol)
+                    .astype(jnp.float32)
+                    .transpose(0, 2, 3, 1)
+                )  # (B,H,W2,W3)
+            else:
+                masked_stereo = apply_bin_masks(
+                    stereo_vol.astype(jnp.float32), left_masks, right_masks
+                ).transpose(0, 3, 1, 2, 4).astype(cdt)
+                agg_s = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_stereo")(
+                    masked_stereo, fmde2, fmde3
+                )
+                agg_s = agg_s.transpose(0, 2, 3, 1, 4)
+                agg_disp_stereo = Conv3dClassifier(name="classifier_stereo")(agg_s).astype(jnp.float32)[..., 0]
             coarse_dispstereo2_low = estimate_left_disparity(agg_disp_stereo)
             coarse_dispstereo3_low = estimate_right_disparity(agg_disp_stereo)
             coarse_dispstereo2 = resize_bilinear_align_corners(coarse_dispstereo2_low, (h, w)) * f
@@ -187,17 +217,24 @@ class StereoAnywhere(nn.Module):
             coarse_dispstereo2 = coarse_dispstereo3 = None
 
         # --- masked mono volume -> hourglass -> classifiers (ref :161-166) -
-        # Build directly in the hourglass layout (B,W3,H,W2,N): fusing the
-        # transpose into the broadcast product avoids materializing the
-        # (B,H,W2,W3,N) volume twice (2x2.1 GB at 1024x1024).
-        masked_mono = (
-            mono_vol.transpose(0, 3, 1, 2)[..., None].astype(cdt)
-            * left_masks[:, None, :, :, :].astype(cdt)
-            * right_masks.transpose(0, 2, 1, 3)[:, :, :, None, :].astype(cdt)
-        )
-        agg = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_mono")(
-            masked_mono, fmde2, fmde3
-        )
+        # Build directly in the hourglass layout: fusing the transpose into
+        # the broadcast product avoids materializing the (B,H,W2,W3,N) volume
+        # twice (2x2.1 GB at 1024x1024).  The folded build additionally packs
+        # (W2, N) into one lane axis — see ops/folded.py.
+        if cfg.hourglass_folded:
+            masked_mono = build_masked_volume_folded(
+                mono_vol, left_masks, right_masks, cdt
+            )  # (B, W3, H, W2*N)
+        else:
+            masked_mono = (
+                mono_vol.transpose(0, 3, 1, 2)[..., None].astype(cdt)
+                * left_masks[:, None, :, :, :].astype(cdt)
+                * right_masks.transpose(0, 2, 1, 3)[:, :, :, None, :].astype(cdt)
+            )
+        agg = Hourglass(
+            cfg.vol_n_masks, cfg.volume_channels,
+            folded=cfg.hourglass_folded, name="hourglass_mono",
+        )(masked_mono, fmde2, fmde3)
         # Additional stacked hourglasses (ref :69-72,163-164; default 0).
         # Reference quirk kept: stack[0] is HourglassIdentity, and the loop
         # runs range(n) over a list of length n+1, so the LAST appended
@@ -206,18 +243,35 @@ class StereoAnywhere(nn.Module):
             if i == 0:
                 continue  # HourglassIdentity
             agg = Hourglass(
-                cfg.volume_channels, cfg.volume_channels, name=f"hourglass_mono_stack_{i}"
+                cfg.volume_channels, cfg.volume_channels,
+                folded=cfg.hourglass_folded, name=f"hourglass_mono_stack_{i}",
             )(agg, fmde2, fmde3)
         # The reference un-permutes the volume to (H,W2,W3) BEFORE the
         # classifier conv3d (reference hourglass.py:91 -> stereoanywhere.py:165),
-        # so the learned 3x3x3 kernel axes correspond to (H,W2,W3); match that.
-        agg = agg.transpose(0, 2, 3, 1, 4)  # (B,W3,H,W2,C) -> (B,H,W2,W3,C)
-        agg_disp = Conv3dClassifier(name="classifier_mono")(agg).astype(jnp.float32)
-        agg_conf = Conv3dClassifier(name="classifier_monoconf")(
-            jax.lax.stop_gradient(agg)
-        ).astype(jnp.float32)
-        agg_disp = agg_disp[..., 0]  # (B,H,W2,W3)
-        agg_conf = agg_conf[..., 0]
+        # so the learned 3x3x3 kernel axes correspond to (H,W2,W3); match that
+        # (the folded classifier permutes the KERNEL instead of the data).
+        if cfg.hourglass_folded:
+            w2_vol = left_masks.shape[2]
+            agg_disp = (
+                Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
+                .astype(jnp.float32)
+                .transpose(0, 2, 3, 1)
+            )  # (B,H,W2,W3)
+            agg_conf = (
+                Conv3dClassifier(name="classifier_monoconf")(
+                    jax.lax.stop_gradient(agg), folded_w=w2_vol
+                )
+                .astype(jnp.float32)
+                .transpose(0, 2, 3, 1)
+            )
+        else:
+            agg = agg.transpose(0, 2, 3, 1, 4)  # (B,W3,H,W2,C) -> (B,H,W2,W3,C)
+            agg_disp = Conv3dClassifier(name="classifier_mono")(agg).astype(jnp.float32)
+            agg_conf = Conv3dClassifier(name="classifier_monoconf")(
+                jax.lax.stop_gradient(agg)
+            ).astype(jnp.float32)
+            agg_disp = agg_disp[..., 0]  # (B,H,W2,W3)
+            agg_conf = agg_conf[..., 0]
 
         if cfg.vol_downsample > 0:
             agg_disp = resize_trilinear_align_corners(agg_disp[..., None], orig_vol_dhw)[..., 0]
@@ -349,14 +403,21 @@ class StereoAnywhere(nn.Module):
             result["disparity"] = result["disparities"][-1]
 
         if debug:
+            if cfg.hourglass_folded:
+                # debug tensors always in the unfolded layouts of the
+                # non-folded path, so layer-wise comparisons are layout-free
+                dbg_masked = unfold(masked_mono, cfg.vol_n_masks)
+                dbg_agg = unfold(agg, cfg.volume_channels).transpose(0, 2, 3, 1, 4)
+            else:
+                dbg_masked, dbg_agg = masked_mono, agg
             result.update(
                 dbg_agg_disp=agg_disp,
                 dbg_agg_conf=agg_conf,
                 dbg_mono_vol=mono_vol,
                 dbg_stereo_vol=stereo_vol,
-                dbg_masked_mono=masked_mono,
+                dbg_masked_mono=dbg_masked,
                 dbg_coarse_dispmono2_low=coarse_dispmono2_low,
-                dbg_agg=agg,
+                dbg_agg=dbg_agg,
                 dbg_fmde2=fmde2,
                 dbg_trunc_mask=trunc_mask,
                 dbg_fmap2=fmap2,

@@ -1,0 +1,230 @@
+"""Lane-folded NDHWC volume algebra: (B, D, H, W, C) carried as (B, D, H, W*C).
+
+Why: XLA's TPU layouts tile the two minor dims to (8 sublanes, 128 lanes),
+so every materialized hourglass tensor with C=8 channels is padded 16x at
+the lane dim.  At 1024x1024 a single full-resolution (B, 256, 256, 256, 8)
+bf16 volume is 268 MB logical but 4.3 GB padded — the direct full-resolution
+forward OOMs on a 16 GB chip for padding alone (ARCHITECTURE.md "High
+resolution").  Folding W and C into one lane axis (w-major, c-minor) makes
+every tensor's minor dim a multiple of 128: zero padding waste.
+
+Every op here is an EXACT reordering of its unfolded counterpart (same
+multiply-adds; f32 accumulation order may differ):
+
+- `conv3d_folded_io`: the blocked banded-fold conv (ops/conv3d_fold.py)
+  operating natively on folded input AND output — the window slices become
+  lane-axis slices at C granularity, so the unfolded tensor never exists.
+- `instance_norm_folded`: per-channel stats via a (B, W*C) -> (B, C)
+  two-stage reduction; normalization broadcast back per lane.
+- `resize_folded`: align-corners trilinear resize; the D/H axes use the
+  constant-interp-matrix matmuls of ops/interp.py, the folded lane axis uses
+  kron(R, I_C) as one MXU matmul (the 2-tap sparsity waste is dwarfed by the
+  padding it avoids).
+- `lane_broadcast_c` / `lane_broadcast_w`: expand a (.., C) or (.., W)
+  tensor to (.., W*C) lanes via constant 0/1 selector matmuls — safe against
+  XLA materializing a padded (.., W, C) broadcast intermediate.
+
+Used by models/hourglass.py (folded=True) and the masked-volume build in
+models/stereoanywhere.py; equivalence vs the unfolded path is tested in
+tests/test_conv3d_fold.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereoanywhere_tpu.ops.conv3d_fold import _banded_kernel, _pick_block
+from stereoanywhere_tpu.ops.interp import _interp_matrix, _resize_axis_align_corners
+
+
+def fold(x: jax.Array) -> jax.Array:
+    """(B, D, H, W, C) -> (B, D, H, W*C), w-major c-minor lanes."""
+    b, d, h, w, c = x.shape
+    return x.reshape(b, d, h, w * c)
+
+
+def unfold(x: jax.Array, c: int) -> jax.Array:
+    """(B, D, H, W*C) -> (B, D, H, W, C)."""
+    b, d, h, wc = x.shape
+    return x.reshape(b, d, h, wc // c, c)
+
+
+def conv3d_folded_io(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: tuple[int, int, int] = (1, 1, 1),
+    padding: int = 1,
+    *,
+    w: int,
+    block_w: int | None = None,
+) -> jax.Array:
+    """NDHWC conv3d on a lane-folded volume, folded in and out.
+
+    x: (B, D, H, W*Ci); kernel: (kd, kh, kw, Ci, Co); torch-style symmetric
+    `padding`.  Returns (B, D', H', (W/sw)*Co).  Same blocked banded fold as
+    ops/conv3d_fold.conv3d_folded — the fold/unfold reshapes are eliminated,
+    not just fused: window extraction is lane-axis slicing at Ci granularity.
+    """
+    b, d, h, wci = x.shape
+    kd, kh, kw, ci, co = kernel.shape
+    assert wci == w * ci, (x.shape, w, ci)
+    sd, sh, sw = strides
+    p = padding
+    assert (w + 2 * p - kw) // sw + 1 == w // sw, (
+        "fold assumes size-preserving (stride-divided) conv on the folded axis"
+    )
+    if block_w is None:
+        block_w = _pick_block(w)
+    assert w % block_w == 0 and block_w % sw == 0, (w, block_w, sw)
+    nb = w // block_w
+    wb_in = block_w + kw - 1
+    wb_out = block_w // sw
+
+    k2 = _banded_kernel(kernel, wb_in, wb_out, sw, x.dtype)
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (p * ci, p * ci)))
+    if nb == 1:
+        wins = xp[:, :, :, : wb_in * ci]
+        y = lax.conv_general_dilated(
+            wins, k2, (sd, sh), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y  # (B, D', H', wb_out*Co) — already folded
+    wins = jnp.stack(
+        [xp[:, :, :, i * block_w * ci : i * block_w * ci + wb_in * ci] for i in range(nb)],
+        axis=1,
+    )  # (B, nb, D, H, wb_in*Ci)
+    wins = wins.reshape(b * nb, d, h, wb_in * ci)
+    y = lax.conv_general_dilated(
+        wins, k2, (sd, sh), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    do, ho = y.shape[1], y.shape[2]
+    y = y.reshape(b, nb, do, ho, wb_out * co)
+    return y.transpose(0, 2, 3, 1, 4).reshape(b, do, ho, nb * wb_out * co)
+
+
+def conv1x1x1_folded(x: jax.Array, kernel: jax.Array, *, w: int) -> jax.Array:
+    """1x1x1 conv (channel matmul) on a folded volume.
+
+    kernel: (1, 1, 1, Ci, Co) or (Ci, Co)."""
+    if kernel.ndim == 5:
+        kernel = kernel[0, 0, 0]
+    ci, co = kernel.shape
+    return conv3d_folded_io(
+        x, kernel[None, None, None], (1, 1, 1), 0, w=w
+    )
+
+
+def instance_norm_folded(x: jax.Array, c: int, eps: float = 1e-5) -> jax.Array:
+    """Per-sample, per-channel instance norm on a folded volume (no affine).
+
+    Identical statistics to models/layers.instance_norm on the unfolded
+    tensor (f32 accumulation; normalize in the input dtype), including the
+    optimization_barrier that stops XLA duplicating the producing conv into
+    both the stats reduction and the normalize pass.
+    """
+    x = lax.optimization_barrier(x)
+    b, d, h, wc = x.shape
+    w = wc // c
+    n = d * h * w
+    s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32).reshape(b, w, c).sum(axis=1)
+    s2 = (
+        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        .reshape(b, w, c)
+        .sum(axis=1)
+    )
+    mean = s / n
+    var = s2 / n - jnp.square(mean)
+    inv = lax.rsqrt(var + eps)
+    # (B, C) -> (B, W*C) per-lane scale/shift (tiny tensors; tile is safe here)
+    mean_l = jnp.tile(mean.astype(x.dtype), (1, w))[:, None, None, :]
+    inv_l = jnp.tile(inv.astype(x.dtype), (1, w))[:, None, None, :]
+    return (x - mean_l) * inv_l
+
+
+def _selector_c(c: int, w: int, dtype) -> jax.Array:
+    """(C, W*C) 0/1 matrix: out[c, i*C + c] = 1 — broadcast channels to lanes."""
+    eye = jnp.eye(c, dtype=dtype)
+    return jnp.tile(eye, (1, w))
+
+
+def _selector_w(w: int, c: int, dtype) -> jax.Array:
+    """(W, W*C) 0/1 matrix: out[i, i*C + c] = 1 — broadcast W to lanes."""
+    return jnp.kron(jnp.eye(w, dtype=dtype), jnp.ones((1, c), dtype))
+
+
+def lane_broadcast_c(x: jax.Array, w: int) -> jax.Array:
+    """(..., C) -> (..., W*C), value at lane i*C+c = x[..., c].
+
+    A constant selector matmul: XLA cannot materialize a lane-padded
+    (..., W, C) intermediate the way a broadcast+reshape could."""
+    c = x.shape[-1]
+    sel = _selector_c(c, w, x.dtype)
+    return jnp.einsum("...c,ck->...k", x, sel)
+
+
+def lane_broadcast_w(x: jax.Array, c: int) -> jax.Array:
+    """(..., W) -> (..., W*C), value at lane i*C+c = x[..., i]."""
+    w = x.shape[-1]
+    sel = _selector_w(w, c, x.dtype)
+    return jnp.einsum("...w,wk->...k", x, sel)
+
+
+def resize_folded(
+    x: jax.Array, out_dhw: tuple[int, int, int], *, w: int, c: int
+) -> jax.Array:
+    """Align-corners trilinear resize of a folded volume.
+
+    x (B, D, H, W*C) -> (B, D', H', W'*C).  D/H resize via the shared
+    interp-matrix matmuls (exact parity with resize_trilinear_align_corners);
+    the lane axis via kron(R_w, I_C) as one matmul.  Axis order is chosen to
+    keep the intermediate smallest (linear resizes on independent axes
+    commute exactly up to float rounding).
+    """
+    d_out, h_out, w_out = out_dhw
+
+    def lane_resize(t: jax.Array) -> jax.Array:
+        if w_out == w:
+            return t
+        m = _interp_matrix(w, w_out)  # (w_out, w)
+        mk = jnp.kron(m, jnp.eye(c, dtype=jnp.float32)).astype(t.dtype)  # (w_out*C, w*C)
+        return jnp.einsum(
+            "bdhk,ok->bdho", t, mk, preferred_element_type=jnp.float32
+        ).astype(t.dtype)
+
+    if w_out >= w:
+        # upsampling: widen lanes first while D/H rows are still small
+        x = lane_resize(x)
+        x = _resize_axis_align_corners(x, 1, d_out)
+        x = _resize_axis_align_corners(x, 2, h_out)
+    else:
+        x = _resize_axis_align_corners(x, 1, d_out)
+        x = _resize_axis_align_corners(x, 2, h_out)
+        x = lane_resize(x)
+    return x
+
+
+def build_masked_volume_folded(
+    volume: jax.Array, left_masks: jax.Array, right_masks: jax.Array, dtype
+) -> jax.Array:
+    """Masked cost volume directly in the folded hourglass layout.
+
+    volume (B, H, W2, W3); left_masks (B, H, W2, N); right_masks (B, H, W3, N)
+    -> (B, W3, H, W2*N) with value[b, w3, h, w2*N+n]
+       = volume[b, h, w2, w3] * left[b, h, w2, n] * right[b, h, w3, n]
+
+    Semantics of ops/volume.apply_bin_masks + the reference's permute to
+    (W3, H, W2) spatial order (reference stereoanywhere.py:148,161 +
+    hourglass.py:63), fused so neither the (B,H,W2,W3,N) nor a lane-padded
+    (.., W2, N) intermediate is ever materialized.
+    """
+    b, hh, w2, n = left_masks.shape
+    vol_t = volume.transpose(0, 3, 1, 2).astype(dtype)  # (B, W3, H, W2)
+    vol_l = lane_broadcast_w(vol_t, n)  # (B, W3, H, W2*N)
+    left_l = left_masks.reshape(b, hh, w2 * n).astype(dtype)[:, None]  # (B,1,H,W2*N)
+    right_l = lane_broadcast_c(
+        right_masks.transpose(0, 2, 1, 3).astype(dtype), w2
+    )  # (B, W3, H, W2*N)
+    return vol_l * left_l * right_l

@@ -109,3 +109,141 @@ def test_small_cin_conv_im2col_matches_direct(rng):
         np.testing.assert_allclose(
             np.asarray(a.apply(v, x)), np.asarray(b.apply(v, x)), rtol=2e-5, atol=2e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# Lane-folded volume algebra (ops/folded.py): every op is an exact reordering
+# of its unfolded counterpart.
+
+
+def test_folded_io_matches_conv3d_folded(rng):
+    from stereoanywhere_tpu.ops.folded import conv3d_folded_io, fold, unfold
+
+    for shape, co, strides in [
+        ((2, 6, 4, 8, 8), 16, (1, 1, 1)),
+        ((1, 8, 6, 24, 4), 8, (2, 2, 2)),
+        ((1, 4, 4, 3, 8), 8, (1, 1, 1)),    # odd W, nb=1
+    ]:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, shape[-1], co)).astype(np.float32))
+        want = np.asarray(conv3d_folded(x, k, strides, 1))
+        got = np.asarray(unfold(conv3d_folded_io(fold(x), k, strides, 1, w=shape[3]), co))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_folded_elementwise_ops_match(rng):
+    from stereoanywhere_tpu.models.layers import instance_norm
+    from stereoanywhere_tpu.ops.folded import (
+        build_masked_volume_folded,
+        fold,
+        instance_norm_folded,
+        lane_broadcast_c,
+        lane_broadcast_w,
+        resize_folded,
+        unfold,
+    )
+    from stereoanywhere_tpu.ops.interp import resize_trilinear_align_corners
+    from stereoanywhere_tpu.ops.volume import apply_bin_masks
+
+    B, D, H, W, C = 2, 6, 4, 8, 8
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(unfold(instance_norm_folded(fold(x), C), C)),
+        np.asarray(instance_norm(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    for tgt in [(12, 8, 16), (3, 2, 4), (D, H, W)]:
+        np.testing.assert_allclose(
+            np.asarray(unfold(resize_folded(fold(x), tgt, w=W, c=C), C)),
+            np.asarray(resize_trilinear_align_corners(x, tgt)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    g = jnp.asarray(rng.standard_normal((B, D, H, C)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(lane_broadcast_c(g, W)),
+        np.asarray(jnp.broadcast_to(g[:, :, :, None, :], (B, D, H, W, C)).reshape(B, D, H, W * C)),
+    )
+    v = jnp.asarray(rng.standard_normal((B, D, H, W)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(lane_broadcast_w(v, C)),
+        np.asarray(jnp.broadcast_to(v[..., None], (B, D, H, W, C)).reshape(B, D, H, W * C)),
+    )
+
+    H2, W2, W3, N = 4, 8, 6, 8
+    vol = jnp.asarray(rng.standard_normal((B, H2, W2, W3)).astype(np.float32))
+    lm = jnp.asarray(rng.standard_normal((B, H2, W2, N)).astype(np.float32))
+    rm = jnp.asarray(rng.standard_normal((B, H2, W3, N)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(unfold(build_masked_volume_folded(vol, lm, rm, jnp.float32), N)),
+        np.asarray(apply_bin_masks(vol, lm, rm).transpose(0, 3, 1, 2, 4)),
+    )
+
+
+def test_hourglass_folded_matches_unfolded(rng):
+    """Hourglass(folded=True) == Hourglass(folded=False): identical param
+    tree/init, matching outputs."""
+    from stereoanywhere_tpu.models.hourglass import Hourglass
+    from stereoanywhere_tpu.ops.folded import fold, unfold
+
+    B, W3, H, W2, C = 1, 24, 16, 24, 8
+    x = jnp.asarray(rng.standard_normal((B, W3, H, W2, C)).astype(np.float32))
+    fl = [
+        jnp.asarray(rng.standard_normal((B, H // 2**i, W2 // 2**i, 1)).astype(np.float32))
+        for i in range(4)
+    ]
+    fr = [
+        jnp.asarray(rng.standard_normal((B, H // 2**i, W3 // 2**i, 1)).astype(np.float32))
+        for i in range(4)
+    ]
+    hg_u = Hourglass(C, C, folded=False)
+    hg_f = Hourglass(C, C, folded=True)
+    vu = hg_u.init(jax.random.PRNGKey(3), x, fl, fr)
+    vf = hg_f.init(jax.random.PRNGKey(3), fold(x), fl, fr)
+    ku = [(jax.tree_util.keystr(p), v.shape) for p, v in jax.tree_util.tree_flatten_with_path(vu)[0]]
+    kf = [(jax.tree_util.keystr(p), v.shape) for p, v in jax.tree_util.tree_flatten_with_path(vf)[0]]
+    assert ku == kf
+    for a, b in zip(jax.tree_util.tree_leaves(vu), jax.tree_util.tree_leaves(vf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    want = np.asarray(hg_u.apply(vu, x, fl, fr))
+    got = np.asarray(unfold(hg_f.apply(vu, fold(x), fl, fr), C))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_model_forward_folded_matches_unfolded(rng):
+    """Full StereoAnywhere forward: hourglass_folded True/False agree
+    (incl. the optional stereo aggregation + stacked hourglasses)."""
+    from dataclasses import replace
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    h, w = 64, 96
+    xs = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
+        for c in (3, 3, 1, 1)
+    )
+    cfg_f = StereoAnywhereConfig(
+        hourglass_folded=True, use_aggregate_stereo_vol=True, n_additional_hourglass=2
+    )
+    cfg_u = replace(cfg_f, hourglass_folded=False)
+    m_f, m_u = StereoAnywhere(cfg_f), StereoAnywhere(cfg_u)
+    vf = jax.jit(lambda k, *a: m_f.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), *xs
+    )
+    vu = jax.jit(lambda k, *a: m_u.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), *xs
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(vf), jax.tree_util.tree_leaves(vu)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    of = jax.jit(lambda v, *a: m_f.apply(v, *a, iters=4, test_mode=True))(vf, *xs)
+    ou = jax.jit(lambda v, *a: m_u.apply(v, *a, iters=4, test_mode=True))(vu, *xs)
+    for key in ("disparity", "coarse_dispmono2", "coarse_dispstereo2", "coarse_conf2"):
+        a = np.asarray(of[key], np.float32)
+        b = np.asarray(ou[key], np.float32)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0, err_msg=key)
