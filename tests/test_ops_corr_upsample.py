@@ -62,6 +62,12 @@ def test_tent_lookup_equals_gather(rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
 
+    from stereoanywhere_tpu.ops.corr_lookup import _lookup_level_inline_tent_pair
+
+    d, e = _lookup_level_inline_tent_pair(level, 2.0 * level, coords, 4)
+    np.testing.assert_allclose(np.asarray(d), a, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e), 2.0 * a, rtol=1e-4, atol=1e-5)
+
 
 def test_pair_lookup_equals_two_single_lookups(rng):
     """The shared-tent pair formulation (one g build for both volumes) must

@@ -92,25 +92,29 @@ def main():
         mde_low, mde_low)
     tfn("generate_masks (both)", lambda m: (generate_masks(m, 8), generate_masks(m, 8)), mde_low)
 
+    from stereoanywhere_tpu.ops.folded import build_masked_volume_folded
+
     vol = arr(b, h4, w4, w4, dtype=jnp.float32)
     masks = jnp.abs(arr(b, h4, w4, 8))
-    def build_masked(v, lm, rm):
-        return (
-            v.transpose(0, 3, 1, 2)[..., None].astype(cdt)
-            * lm[:, None, :, :, :].astype(cdt)
-            * rm.transpose(0, 2, 1, 3)[:, :, :, None, :].astype(cdt)
-        )
-    tfn("masked mono volume build", build_masked, vol, masks, masks, n_chain=16)
+    tfn(
+        "masked mono volume build (folded)",
+        lambda v, lm, rm: build_masked_volume_folded(v, lm, rm, cdt),
+        vol, masks, masks, n_chain=16,
+    )
 
-    masked = arr(b, w4, h4, w4, 8)
+    # folded layout, matching the shipped default (cfg.hourglass_folded)
+    masked = arr(b, w4, h4, w4 * 8)
     fmde = [arr(b, h4 // (2 ** i), w4 // (2 ** i), 1) for i in range(4)]
-    tmod("hourglass_mono", Hourglass(8, 8), masked, fmde, fmde, n_chain=8)
+    tmod("hourglass_mono (folded)", Hourglass(8, 8, folded=True), masked, fmde, fmde, n_chain=8)
 
     # the REAL classifier module (banded-fold path on TPU), shipped channels
     from stereoanywhere_tpu.models.stereoanywhere import Conv3dClassifier
 
-    agg = arr(b, w4, h4, w4, 8)
-    tmod("classifier conv3d x2 (incl conf)", Conv3dClassifier(), agg, n_chain=8)
+    agg = arr(b, w4, h4, w4 * 8)
+    tmod(
+        "classifier conv3d x2 (incl conf)", Conv3dClassifier(), agg,
+        n_chain=8, folded_w=w4,
+    )
 
     agg_disp = arr(b, h4, w4, w4, dtype=jnp.float32)
     tfn("soft-argmax L+R + conf L+R",

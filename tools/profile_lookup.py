@@ -1,0 +1,78 @@
+"""Compare correlation-lookup formulations on the real chip.
+
+The GRU loop indexes two same-shape pyramids at shared coords every
+iteration (ops/corr_lookup.py).  Formulations (all exactly the reference
+bilinear_sampler math):
+
+  lagged   shared materialized tent array g, 2r+1 static slices
+           (current TPU default)
+  inline   per-tap tent recomputed from (iota, pos) inside each tap's
+           fusion — no materialized g, floor traffic = K x levels
+
+Usage: python tools/profile_lookup.py [--size 512]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--n-chain", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from stereoanywhere_tpu.ops.corr_lookup import (
+        _lookup_level_inline_tent_pair,
+        _lookup_level_lagged_pair,
+    )
+    from stereoanywhere_tpu.utils.profiling import chained_timer
+
+    print(f"backend={jax.default_backend()}")
+    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    h4 = w4 = args.size // 4
+    b = 1
+    rng = np.random.default_rng(0)
+    levels_a = tuple(
+        jnp.asarray(rng.standard_normal((b, h4, w4, w4 // 2**i)).astype(np.float32)).astype(cdt)
+        for i in range(4)
+    )
+    levels_b = tuple(
+        jnp.asarray(rng.standard_normal((b, h4, w4, w4 // 2**i)).astype(np.float32)).astype(cdt)
+        for i in range(4)
+    )
+    coords = jnp.asarray(
+        rng.uniform(0, w4, (b, h4, w4)).astype(np.float32)
+    )
+
+    for name, pair_fn in [
+        ("lagged", _lookup_level_lagged_pair),
+        ("inline", _lookup_level_inline_tent_pair),
+    ]:
+        def lk(coords, *levels):
+            la, lb = levels[:4], levels[4:]
+            outs = []
+            for i in range(4):
+                oa, ob = pair_fn(la[i], lb[i], coords / (2**i), 4)
+                outs.append(jnp.mean(oa.astype(jnp.float32)) + jnp.mean(ob.astype(jnp.float32)))
+            return sum(outs)
+
+        t = chained_timer(lk, coords, *levels_a, *levels_b, n_chain=args.n_chain)
+        print(f"{name:10s} {t*1e3:8.3f} ms / iteration-pair")
+
+
+if __name__ == "__main__":
+    main()
