@@ -191,3 +191,59 @@ def test_exr_codec_roundtrip(tmp_path, rng):
     )
     # generic reader dispatch
     np.testing.assert_array_equal(fu.read_gen(p), zh)
+
+
+def test_photometric_transform_family(rng):
+    """Each member of the reference's 15-transform albumentations stack
+    (reference augmentor.py:39-56) has a numpy/PIL twin with sane
+    invariants; the composed jitter stays bounded in [0, 255]."""
+    from stereoanywhere_tpu.data.augmentor import DisparityAugmentor
+
+    a = DisparityAugmentor(seed=0)
+    im = rng.uniform(0, 255, (40, 56, 3)).astype(np.float32)
+
+    # box blur vs naive oracle (edge padding)
+    p = np.pad(im, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    ref = sum(p[i : i + 40, j : j + 56] for i in range(3) for j in range(3)) / 9.0
+    np.testing.assert_allclose(a._box_blur(im, 3), ref, atol=1e-2)
+
+    # median blur vs naive oracle
+    stack = np.stack(
+        [p[i : i + 40, j : j + 56] for i in range(3) for j in range(3)], axis=0
+    )
+    np.testing.assert_allclose(a._median_blur(im, 3), np.median(stack, axis=0), atol=1e-5)
+
+    # gaussian blur preserves mean (edge padding, normalized kernel)
+    gb = a._gaussian_blur(im, 5, 1.1)
+    assert abs(gb.mean() - im.mean()) < 2.0
+
+    # HSV round-trip with zero shift is the identity
+    np.testing.assert_allclose(
+        a._hsv_shift(im, 0, 0, 0), np.clip(im, 0, 255), atol=5e-3
+    )
+
+    # equalize maps into [0,255] and is monotone per channel
+    eq = a._equalize(im)
+    assert eq.min() >= 0 and eq.max() <= 255.001
+
+    # CLAHE finite, non-negative
+    cl = a._clahe(im)
+    assert np.isfinite(cl).all() and cl.min() >= -1e-3
+
+    # JPEG round-trip returns the same shape; close on a smooth image at
+    # q=100 (noise is JPEG's worst case, so don't test reconstruction on it)
+    yy, xx = np.meshgrid(np.linspace(0, 255, 40), np.linspace(0, 255, 56), indexing="ij")
+    smooth = np.stack([yy, xx, (yy + xx) / 2], axis=-1).astype(np.float32)
+    jp = a._jpeg(smooth, 100)
+    assert jp.shape == smooth.shape
+    assert np.abs(jp - np.clip(smooth, 0, 255)).mean() < 3.0
+
+    # composed stack: bounded, shape-stable, deterministic under a fixed rng
+    a.rng = np.random.default_rng(7)
+    o1 = a._jitter(im)
+    a.rng = np.random.default_rng(7)
+    o2 = a._jitter(im)
+    np.testing.assert_array_equal(o1, o2)
+    for _ in range(30):
+        out = a._jitter(im)
+        assert out.shape == im.shape and out.min() >= 0 and out.max() <= 255
