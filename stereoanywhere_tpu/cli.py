@@ -130,6 +130,11 @@ def cmd_train(args):
     from stereoanywhere_tpu.parallel.mesh import make_mesh
     from stereoanywhere_tpu.train.trainer import Trainer
 
+    if args.multihost:
+        from stereoanywhere_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed()
+
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         crop_h=args.crop_h, crop_w=args.crop_w, train_iters=args.iters,
@@ -139,7 +144,14 @@ def cmd_train(args):
     steps_per_epoch = max(len(ds) // tc.batch_size, 1)
     total = steps_per_epoch * tc.epochs
 
-    mesh = make_mesh(data=args.data_parallel) if args.data_parallel > 1 else None
+    if args.multihost:
+        import jax
+
+        from stereoanywhere_tpu.parallel.multihost import make_global_mesh
+
+        mesh = make_global_mesh(data=len(jax.devices()))
+    else:
+        mesh = make_mesh(data=args.data_parallel) if args.data_parallel > 1 else None
     trainer = Trainer(
         StereoAnywhereConfig(compute_dtype=args.dtype), tc, total,
         mesh=mesh, checkpoint_dir=args.savedir, sample_shape=(tc.crop_h, tc.crop_w),
@@ -154,14 +166,28 @@ def cmd_train(args):
     step = int(trainer.state.step)
     print(f"training: {len(ds)} pairs, {total} steps, starting at {step}")
     t0 = time.time()
+    shard_index, shard_count = 0, 1
+    if args.multihost:
+        import jax
+
+        shard_index, shard_count = jax.process_index(), jax.process_count()
     with PrefetchLoader(
         ds, tc.batch_size, total, seed=tc.seed, start_step=step,
         num_threads=args.loader_threads,
+        shard_index=shard_index, shard_count=shard_count,
     ) as loader:
         for step0, batch in loader:
             if trainer.stop_requested:
                 break
-            logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
+            if shard_count > 1:
+                from stereoanywhere_tpu.parallel.multihost import (
+                    global_batch_from_host_shards,
+                )
+
+                batch = global_batch_from_host_shards(batch, mesh)
+                logs = trainer.step(batch)
+            else:
+                logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
             step = step0 + 1
             if step % args.log_every == 0:
                 print(
@@ -256,8 +282,13 @@ def cmd_infer(args):
     cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
     _, variables = _load_stereo(args.checkpoint, cfg)
     mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+    mesh = None
+    if getattr(args, "shard_rows", 1) > 1:
+        from stereoanywhere_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=1, tile=args.shard_rows)
     pipe = StereoAnywherePipeline(
-        variables, mono_vars, cfg, iters=args.iters, two_stage=args.two_stage
+        variables, mono_vars, cfg, iters=args.iters, two_stage=args.two_stage, mesh=mesh
     )
 
     def load(path):
@@ -329,6 +360,9 @@ def main(argv=None):
     pt.add_argument("--crop-h", type=int, default=320)
     pt.add_argument("--crop-w", type=int, default=640)
     pt.add_argument("--data-parallel", type=int, default=1)
+    pt.add_argument("--multihost", action="store_true",
+                    help="multi-process pod training: jax.distributed init, "
+                         "global mesh over all hosts, per-host input shards")
     pt.add_argument("--savedir", default=None)
     pt.add_argument("--resume", default=None)
     pt.add_argument("--log-every", type=int, default=20)
@@ -357,6 +391,8 @@ def main(argv=None):
     pi.add_argument("right")
     pi.add_argument("-o", "--output", default=".")
     pi.add_argument("--iscale", type=float, default=1.0)
+    pi.add_argument("--shard-rows", type=int, default=1,
+                    help="shard image rows over N devices (exact GSPMD path)")
     pi.add_argument("--two-stage", action="store_true",
                     help="mono/stereo as separate programs (lower peak HBM)")
     pi.set_defaults(fn=cmd_infer)

@@ -55,9 +55,20 @@ class PrefetchLoader:
         num_threads: int = 4,
         lookahead: int = 8,
         collate: Callable[[Sequence[dict]], dict] | None = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """`shard_index`/`shard_count`: multi-host input sharding — every host
+        builds the SAME global step order (same seed/permutation) and loads
+        only its `batch_size/shard_count` slice of each step's global batch
+        (see parallel/multihost.py:global_batch_from_host_shards for the
+        device-side assembly).  Deterministically identical to the
+        single-host global order."""
+        assert batch_size % shard_count == 0, (batch_size, shard_count)
         self.dataset = dataset
         self.batch_size = batch_size
+        self.local_batch = batch_size // shard_count
+        self.shard_index = shard_index
         self.total_steps = total_steps
         self.start_step = start_step
         self.collate = collate or default_collate
@@ -81,7 +92,8 @@ class PrefetchLoader:
     # -- internals --------------------------------------------------------
     def _indices(self, step: int) -> list[int]:
         n = len(self.dataset)
-        return [int(self.order[(step * self.batch_size + i) % n]) for i in range(self.batch_size)]
+        base = step * self.batch_size + self.shard_index * self.local_batch
+        return [int(self.order[(base + i) % n]) for i in range(self.local_batch)]
 
     def _build(self, step: int) -> dict:
         samples = [self.dataset[i] for i in self._indices(step)]

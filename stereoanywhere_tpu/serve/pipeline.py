@@ -43,11 +43,18 @@ class StereoAnywherePipeline:
         iters: int = 32,
         mono_size: tuple[int, int] = (518, 518),
         two_stage: bool = False,
+        mesh=None,
+        shard_axis: str = "tile",
     ):
         """`two_stage=True` runs mono and stereo as separate jitted programs
         with a host round-trip between them — the memory-saving analog of the
         reference's CPUOffloadWrapper (reference cpu_offload_wrapper.py:13-83):
-        peak HBM holds only one branch's activations at a time."""
+        peak HBM holds only one branch's activations at a time.
+
+        `mesh` (a jax.sharding.Mesh with a `shard_axis` axis) shards the
+        stereo branch's image rows over the mesh: the exact GSPMD multi-chip
+        path (parallel/spatial.py) fused into the serving graph — per-device
+        cost-volume memory is O(1/N) with no tile seams."""
         self.stereo = StereoAnywhere(stereo_cfg)
         self.mono = DepthAnythingV2(mono_cfg) if mono_variables is not None else None
         self.stereo_variables = stereo_variables
@@ -55,7 +62,17 @@ class StereoAnywherePipeline:
         self.iters = iters
         self.mono_size = mono_size
         self.two_stage = two_stage
+        self._row_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._row_sharding = NamedSharding(mesh, P(None, shard_axis))
         self._cache: dict = {}
+
+    def _constrain_rows(self, x):
+        if self._row_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self._row_sharding)
 
     def _build(self, h: int, w: int) -> Callable:
         key = (h, w)
@@ -77,10 +94,10 @@ class StereoAnywherePipeline:
             mde2, mde3 = joint_minmax_normalize([mde2, mde3])
 
             pad = ((0, 0), (t, b), (l, r), (0, 0))
-            im2p = jnp.pad(im2, pad, mode="edge")
-            im3p = jnp.pad(im3, pad, mode="edge")
-            m2p = jnp.pad(mde2, pad, mode="edge")
-            m3p = jnp.pad(mde3, pad, mode="edge")
+            im2p = self._constrain_rows(jnp.pad(im2, pad, mode="edge"))
+            im3p = self._constrain_rows(jnp.pad(im3, pad, mode="edge"))
+            m2p = self._constrain_rows(jnp.pad(mde2, pad, mode="edge"))
+            m3p = self._constrain_rows(jnp.pad(mde3, pad, mode="edge"))
 
             out = self.stereo.apply(
                 stereo_vars, im2p, im3p, m2p, m3p, iters=self.iters, test_mode=True
@@ -111,10 +128,10 @@ class StereoAnywherePipeline:
             pad = ((0, 0), (t, b), (l, r), (0, 0))
             out = self.stereo.apply(
                 stereo_vars,
-                jnp.pad(im2, pad, mode="edge"),
-                jnp.pad(im3, pad, mode="edge"),
-                jnp.pad(mde2, pad, mode="edge"),
-                jnp.pad(mde3, pad, mode="edge"),
+                self._constrain_rows(jnp.pad(im2, pad, mode="edge")),
+                self._constrain_rows(jnp.pad(im3, pad, mode="edge")),
+                self._constrain_rows(jnp.pad(mde2, pad, mode="edge")),
+                self._constrain_rows(jnp.pad(mde3, pad, mode="edge")),
                 iters=self.iters,
                 test_mode=True,
             )

@@ -199,6 +199,24 @@ def test_prefetch_loader_resume_start_step():
             assert s >= 5
 
 
+def test_prefetch_loader_host_shards_partition_global_batch():
+    """Multi-host input sharding: the per-host slices, concatenated in
+    shard_index order, must equal the single-host global batch at every step."""
+    from stereoanywhere_tpu.data.loader import PrefetchLoader
+
+    ds = _ToyDataset()
+    kw = dict(batch_size=4, total_steps=6, seed=7, num_threads=0)
+    with PrefetchLoader(ds, **kw) as full:
+        want = dict((s, b["gt"][:, 0, 0, 0].tolist()) for s, b in full)
+    shards = []
+    for idx in range(2):
+        with PrefetchLoader(ds, shard_index=idx, shard_count=2, **kw) as part:
+            shards.append(dict((s, b["gt"][:, 0, 0, 0].tolist()) for s, b in part))
+    for s in want:
+        assert shards[0][s] + shards[1][s] == want[s]
+        assert len(shards[0][s]) == 2
+
+
 def test_prefetch_loader_propagates_errors():
     from stereoanywhere_tpu.data.loader import PrefetchLoader
 

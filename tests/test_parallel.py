@@ -103,6 +103,58 @@ def test_tile_parallel_inference_close_to_monolithic(rng):
     assert np.isfinite(a).all()
 
 
+@pytest.mark.slow
+def test_row_sharded_inference_matches_monolithic(rng):
+    """GSPMD row-sharded full-model inference (parallel/spatial.py) must
+    reproduce the single-device forward up to float reduction order — this is
+    the EXACT multi-chip path (no tile seams, no blend window)."""
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+    from stereoanywhere_tpu.parallel.spatial import RowShardedInference
+
+    model = StereoAnywhere(StereoAnywhereConfig())
+    h, w = 128, 64
+    im2 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    im3 = jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)).astype(np.float32))
+    mde = jnp.asarray(rng.uniform(0, 1, (1, h, w, 1)).astype(np.float32))
+    variables = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), im2, im3, mde, mde
+    )
+
+    def apply_fn(v, a, b_, c, d, iters):
+        return model.apply(v, a, b_, c, d, iters=iters, test_mode=True)
+
+    mono = np.asarray(apply_fn(variables, im2, im3, mde, mde, 2)["disparity"])
+
+    mesh = make_mesh(data=1, tile=4)
+    rs = RowShardedInference(apply_fn, variables, mesh, axis="tile", iters=2)
+    sharded = np.asarray(rs.infer(im2, im3, mde, mde))
+
+    assert sharded.shape == mono.shape
+    # float reduction order differs under partitioning (psum trees); observed
+    # max deviation ~1e-4 on O(20) disparities
+    np.testing.assert_allclose(sharded, mono, rtol=1e-4, atol=5e-4)
+
+
+def test_multihost_batch_assembly(rng):
+    """Single-process degenerate case of the per-host input pipeline: the
+    assembled global batch must equal the local batch, sharded over 'data'."""
+    from stereoanywhere_tpu.parallel.multihost import (
+        global_batch_from_host_shards,
+        host_local_batch_size,
+        make_global_mesh,
+    )
+
+    assert host_local_batch_size(8) == 8  # one process in tests
+    mesh = make_global_mesh(data=4, tile=2)
+    local = {"im2": rng.standard_normal((4, 8, 8, 3)).astype(np.float32)}
+    out = global_batch_from_host_shards(local, mesh)
+    assert out["im2"].shape == (4, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(out["im2"]), local["im2"])
+    # sharded over 'data': each of the 4 data-rows holds one sample
+    assert len(out["im2"].addressable_shards) == 8
+
+
 def test_ring_corr_matches_single_device(rng):
     """Ring-sharded all-pairs correlation over 8 virtual devices == the
     monolithic einsum volume (exact blockwise decomposition)."""
