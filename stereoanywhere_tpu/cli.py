@@ -130,10 +130,19 @@ def cmd_train(args):
     from stereoanywhere_tpu.parallel.mesh import make_mesh
     from stereoanywhere_tpu.train.trainer import Trainer
 
+    # Multi-host setup in one place: rendezvous, global mesh, input shards,
+    # batch assembly, cross-host stop consensus.
+    shard_index, shard_count = 0, 1
+    make_global = None
+    stop_consensus = None
     if args.multihost:
-        from stereoanywhere_tpu.parallel.multihost import initialize_distributed
+        import jax
+        from jax.experimental import multihost_utils
 
-        initialize_distributed()
+        from stereoanywhere_tpu.parallel import multihost as mh
+
+        mh.initialize_distributed()
+        shard_index, shard_count = jax.process_index(), jax.process_count()
 
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
@@ -145,11 +154,20 @@ def cmd_train(args):
     total = steps_per_epoch * tc.epochs
 
     if args.multihost:
-        import jax
+        mesh = mh.make_global_mesh()
+        n_data = mesh.shape["data"]
+        if tc.batch_size % n_data != 0 or tc.batch_size % shard_count != 0:
+            raise SystemExit(
+                f"--batch-size {tc.batch_size} must be divisible by the total "
+                f"device count {n_data} for multi-host data parallelism"
+            )
+        make_global = lambda b: mh.global_batch_from_host_shards(b, mesh)  # noqa: E731
 
-        from stereoanywhere_tpu.parallel.multihost import make_global_mesh
-
-        mesh = make_global_mesh(data=len(jax.devices()))
+        def stop_consensus(local_stop: bool) -> bool:
+            # SIGTERM delivery is per-host and may be skewed; hosts must agree
+            # before leaving the step loop or collectives deadlock.
+            flags = multihost_utils.process_allgather(np.array([local_stop]))
+            return bool(np.asarray(flags).any())
     else:
         mesh = make_mesh(data=args.data_parallel) if args.data_parallel > 1 else None
     trainer = Trainer(
@@ -166,26 +184,19 @@ def cmd_train(args):
     step = int(trainer.state.step)
     print(f"training: {len(ds)} pairs, {total} steps, starting at {step}")
     t0 = time.time()
-    shard_index, shard_count = 0, 1
-    if args.multihost:
-        import jax
-
-        shard_index, shard_count = jax.process_index(), jax.process_count()
     with PrefetchLoader(
         ds, tc.batch_size, total, seed=tc.seed, start_step=step,
         num_threads=args.loader_threads,
         shard_index=shard_index, shard_count=shard_count,
     ) as loader:
         for step0, batch in loader:
-            if trainer.stop_requested:
+            stop = trainer.stop_requested
+            if stop_consensus is not None:
+                stop = stop_consensus(stop)
+            if stop:
                 break
-            if shard_count > 1:
-                from stereoanywhere_tpu.parallel.multihost import (
-                    global_batch_from_host_shards,
-                )
-
-                batch = global_batch_from_host_shards(batch, mesh)
-                logs = trainer.step(batch)
+            if make_global is not None:
+                logs = trainer.step(make_global(batch))
             else:
                 logs = trainer.step({k: jnp.asarray(v) for k, v in batch.items()})
             step = step0 + 1
@@ -197,8 +208,11 @@ def cmd_train(args):
                 t0 = time.time()
             if args.savedir and step % args.save_every == 0:
                 trainer.save("latest")
+    stopped = trainer.stop_requested
+    if stop_consensus is not None:
+        stopped = stop_consensus(stopped)  # all hosts must pick the same tag
     if args.savedir:
-        trainer.save("stopped" if trainer.stop_requested else "final")
+        trainer.save("stopped" if stopped else "final")
 
 
 def cmd_precompute_mono(args):

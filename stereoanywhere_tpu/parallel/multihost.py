@@ -42,18 +42,20 @@ def initialize_distributed(
             process_id=process_id,
         )
     except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+        # jax raises "distributed.initialize should only be called once."
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
 
 
 def make_global_mesh(data: int | None = None, tile: int = 1) -> Mesh:
     """Mesh over ALL processes' devices (jax.devices() is global after
     jax.distributed.initialize).  data defaults to n_devices // tile."""
-    devices = jax.devices()
+    from stereoanywhere_tpu.parallel.mesh import make_mesh
+
     if data is None:
-        data = len(devices) // tile
-    dev = np.asarray(devices[: data * tile]).reshape(data, tile)
-    return Mesh(dev, ("data", "tile"))
+        data = len(jax.devices()) // tile
+    return make_mesh(data=data, tile=tile)
 
 
 def host_local_batch_size(global_batch: int) -> int:
@@ -73,9 +75,18 @@ def global_batch_from_host_shards(local_batch: dict, mesh: Mesh) -> dict:
     batch anywhere).
     """
     sharding = NamedSharding(mesh, P(("data",)))
+    n_data = mesh.shape["data"]
     out = {}
     for k, v in local_batch.items():
         v = np.asarray(v)
-        global_shape = (v.shape[0] * jax.process_count(),) + v.shape[1:]
-        out[k] = jax.make_array_from_process_local_data(sharding, v, global_shape)
+        global_b = v.shape[0] * jax.process_count()
+        if global_b % n_data != 0:
+            raise ValueError(
+                f"global batch {global_b} (local {v.shape[0]} x "
+                f"{jax.process_count()} processes) must be divisible by the "
+                f"mesh 'data' axis size {n_data}"
+            )
+        out[k] = jax.make_array_from_process_local_data(
+            sharding, v, (global_b,) + v.shape[1:]
+        )
     return out

@@ -321,3 +321,18 @@ class Trainer:
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
         )
+        if jax.process_count() > 1 and self.mesh is not None:
+            # Orbax returns committed host-local arrays; under a multi-process
+            # mesh those cannot be device_put to the pod-replicated sharding
+            # the train step expects.  Re-wrap every leaf as a global
+            # replicated array backed by this host's local copy.
+            import numpy as np
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as P
+
+            def to_global(x):
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), self.mesh, P()
+                )
+
+            self.state = jax.tree.map(to_global, self.state)

@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stereoanywhere_tpu.parallel.halo import halo_exchange, drop_halo
 from stereoanywhere_tpu.parallel.mesh import make_mesh
