@@ -37,6 +37,9 @@ class StereoAnywhereConfig:
     vol_downsample: int = 0
     use_aggregate_stereo_vol: bool = False
     use_aggregate_mono_vol: bool = True
+    # Reference train.py:245 calls freeze_bn() every step: BatchNorm always
+    # runs frozen (running-stat) normalization.  False enables batch stats.
+    freeze_bn: bool = True
     # Lane-folded hourglass layout (B,W3,H,W2*C) — exact same math, removes
     # the 16x lane padding of C=8 NDHWC tensors (ops/folded.py).  Off only
     # for debugging layout-sensitive numerics.
@@ -110,7 +113,10 @@ class TrainConfig:
     gt_mono_prob: float = 0.3
     use_border_mask: bool = True
     use_normal_loss_on_coarse: bool = True
+    use_normal_loss: bool = False  # per-iteration normal loss (train.py:302-306)
     normal_loss_gain: float = 10.0
+    lrc_th: float = 1.0  # confidence-BCE threshold (reference --lrc_th)
+    max_disp: float = 700.0  # gt validity cap (reference run_train.sh MAXDISP=700)
     things_to_freeze: tuple[str, ...] = ("fnet",)
     num_steps: int = 0  # 0 = derive from dataset length * epochs
     seed: int = 1337

@@ -137,8 +137,12 @@ class StereoAnywhere(nn.Module):
         normals3 = estimate_normals(mde3_low, normal_gain)
 
         # --- context encoder on replicated mono depth (ref :116-120) -------
+        # Norm-layer mode: the reference calls freeze_bn() at EVERY training
+        # step (reference train.py:245), so BatchNorm always normalizes with
+        # running stats; batch-stat mode exists only behind freeze_bn=False.
+        norm_train = train and not cfg.freeze_bn
         cnet_out = ContextEncoder(name="cnet")(
-            jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=train
+            jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=norm_train
         )
         net_list = [jnp.tanh(o[0]) for o in cnet_out]
         inp_list = []
@@ -150,7 +154,7 @@ class StereoAnywhere(nn.Module):
 
         # --- feature encoder, both views as one doubled batch (ref :122) ---
         fmaps = FeatureEncoder(cfg.fnet_dim, name="fnet")(
-            jnp.concatenate([image2, image3], axis=0).astype(cdt), train=train
+            jnp.concatenate([image2, image3], axis=0).astype(cdt), train=norm_train
         )
         # f32 volumes for exact reference parity; bf16 end-to-end in mixed
         # precision (the reference's `.float()` at stereoanywhere.py:126 is a

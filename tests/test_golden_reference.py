@@ -141,3 +141,57 @@ def test_full_model_golden(torch_model, converted, rng):
     assert diff.max() < 1e-3 and np.median(diff) < 1e-4, (
         f"golden mismatch: max {diff.max():.6f}, median {np.median(diff):.6f}"
     )
+
+
+def test_train_mode_golden(torch_model, converted, rng):
+    """Train-mode parity: per-iteration upsampled disparities and the coarse
+    mono/scaled/confidence outputs the loss consumes (reference
+    stereoanywhere.py:296-299) must match the torch reference.
+
+    Volume corruption is disabled on both sides (the reference draws
+    python-random numbers, reference stereoanywhere.py:218-251 — not
+    comparable across frameworks); its distribution equivalence is covered by
+    tests/test_model_forward.py."""
+    b, h, w = 1, 32, 64
+    im2 = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    im3 = rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32)
+    mde2 = rng.uniform(0.05, 0.95, (b, h, w, 1)).astype(np.float32)
+    mde3 = rng.uniform(0.05, 0.95, (b, h, w, 1)).astype(np.float32)
+    iters = 2
+
+    old_prob = torch_model.args.volume_corruption_prob
+    torch_model.args.volume_corruption_prob = 0.0
+    try:
+        with torch.no_grad():
+            flows, _confs, coarse2, coarse3, conf2, conf3 = torch_model(
+                _nchw(im2), _nchw(im3), _nchw(mde2), _nchw(mde3),
+                iters=iters, test_mode=False,
+            )
+    finally:
+        torch_model.args.volume_corruption_prob = old_prob
+
+    model = StereoAnywhere(StereoAnywhereConfig(volume_corruption_prob=0.0))
+    out = model.apply(
+        converted,
+        jnp.asarray(im2), jnp.asarray(im3), jnp.asarray(mde2), jnp.asarray(mde3),
+        iters=iters, test_mode=False, train=True,
+        mutable=["batch_stats"],
+    )[0]
+
+    def close(ours, ref_nchw, name, tol=1e-3):
+        ref = ref_nchw.detach().permute(0, 2, 3, 1).numpy()
+        diff = np.abs(np.asarray(ours, np.float32) - ref)
+        assert diff.max() < tol and np.median(diff) < tol / 10, (
+            f"{name}: max {diff.max():.6f}, median {np.median(diff):.6f}"
+        )
+
+    assert out["disparities"].shape[0] == iters
+    for i, f in enumerate(flows):
+        close(out["disparities"][i], -f, f"iteration {i} disparity")
+
+    close(out["coarse_dispmono2"], coarse2[1], "coarse_dispmono2")
+    close(out["coarse_dispmono3"], coarse3[1], "coarse_dispmono3")
+    close(out["coarse_scaled_mde2"], coarse2[2], "coarse_scaled_mde2")
+    close(out["coarse_scaled_mde3"], coarse3[2], "coarse_scaled_mde3")
+    close(out["coarse_conf2"], conf2[1], "coarse_conf2")
+    close(out["coarse_conf3"], conf3[1], "coarse_conf3")
