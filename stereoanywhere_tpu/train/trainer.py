@@ -190,6 +190,9 @@ class Trainer:
         )
         self.train_step = make_train_step(self.model, self.tx, train_cfg, mesh)
         self._rng = jax.random.PRNGKey(train_cfg.seed + 1)
+        import random as _random
+
+        self._host_rng = _random.Random(train_cfg.seed + 2)
 
         if checkpoint_dir:
             self._install_signal_handlers()
@@ -197,6 +200,17 @@ class Trainer:
     # -- stepping --------------------------------------------------------
     def step(self, batch: dict) -> dict:
         batch = dict(batch)
+        used_gt_mono = 0.0
+        if (
+            self.cfg.gt_mono_prob > 0
+            and self._host_rng.random() < self.cfg.gt_mono_prob
+            and float(jnp.sum(batch["validgt_right"])) > 0
+        ):
+            # gt-as-mono robustness branch (reference train.py:253-260):
+            # feed the gt disparity pair as the "mono depth" inputs.
+            batch["mono2"] = jnp.nan_to_num(batch["gt"], posinf=0.0, neginf=0.0)
+            batch["mono3"] = jnp.nan_to_num(batch["gt_right"], posinf=0.0, neginf=0.0)
+            used_gt_mono = 1.0
         mono2, mono3 = joint_minmax_normalize([batch["mono2"], batch["mono3"]])
         batch["mono2"], batch["mono3"] = jax.lax.stop_gradient(mono2), jax.lax.stop_gradient(mono3)
         self._rng, sub = jax.random.split(self._rng)
@@ -204,6 +218,7 @@ class Trainer:
         census = logs.pop("_grad_census", None)
         if census is not None:
             self._dump_grad_census(census)
+        logs["mono_source/gt"] = used_gt_mono
         return logs
 
     def _dump_grad_census(self, census) -> None:

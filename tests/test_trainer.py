@@ -59,6 +59,36 @@ def test_train_step_and_freeze(trainer, rng):
     assert np.abs(np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"]) - cnet_kernel_before).max() > 0
 
 
+def test_gt_as_mono_branch(trainer, rng):
+    """gt-as-mono robustness branch (reference train.py:253-260): fires only
+    when the host coin lands AND right gt exists; logged for observability."""
+
+    class Always:
+        def random(self):
+            return 0.0  # < gt_mono_prob -> branch taken when right gt exists
+
+    class Never:
+        def random(self):
+            return 1.0
+
+    batch = _batch(rng)
+    batch["gt_right"] = batch["gt"]
+    batch["validgt_right"] = jnp.ones_like(batch["validgt"])
+
+    trainer._host_rng = Always()
+    logs = trainer.step(dict(batch))
+    assert logs["mono_source/gt"] == 1.0
+
+    trainer._host_rng = Never()
+    logs = trainer.step(dict(batch))
+    assert logs["mono_source/gt"] == 0.0
+
+    # no right gt -> branch must not fire even when the coin lands
+    trainer._host_rng = Always()
+    logs = trainer.step(_batch(rng))
+    assert logs["mono_source/gt"] == 0.0
+
+
 def test_checkpoint_roundtrip(trainer, rng):
     step_before = int(trainer.state.step)
     ref_kernel = np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"])
