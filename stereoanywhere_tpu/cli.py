@@ -76,18 +76,21 @@ def cmd_eval(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.config import EvalConfig, StereoAnywhereConfig
     from stereoanywhere_tpu.data import fetch_dataset
     from stereoanywhere_tpu.eval.harness import DAV2_SIZES, Evaluator
     from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
 
+    ec = EvalConfig(
+        dataset=args.dataset, iters=args.iters, iscale=args.iscale, oscale=args.oscale
+    )
     cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
     model, variables = _load_stereo(args.checkpoint, cfg)
     mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
 
     @jax.jit
     def stereo_jit(im2, im3, m2, m3):
-        return model.apply(variables, im2, im3, m2, m3, iters=args.iters, test_mode=True)[
+        return model.apply(variables, im2, im3, m2, m3, iters=ec.iters, test_mode=True)[
             "disparity"
         ]
 
@@ -107,10 +110,13 @@ def cmd_eval(args):
 
     ds = fetch_dataset(
         args.dataset, args.datapath, test=True, overfit=args.overfit,
-        mono=args.mono_precomputed, scale_factor=args.iscale,
+        mono=args.mono_precomputed, scale_factor=ec.iscale,
     )
-    print(f"evaluating {args.dataset}: {len(ds)} pairs")
-    ev = Evaluator(stereo_fn, mono_fn, args.dataset, iscale=1.0, oscale=args.oscale)
+    print(f"evaluating {ec.dataset}: {len(ds)} pairs")
+    ev = Evaluator(
+        stereo_fn, mono_fn, ec.dataset,
+        iscale=1.0, oscale=ec.oscale, pad_multiple=ec.pad_multiple,
+    )
     t0 = time.time()
     res = ev.run(ds, max_samples=args.max_samples)
     dt = time.time() - t0
@@ -147,11 +153,12 @@ def cmd_train(args):
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         crop_h=args.crop_h, crop_w=args.crop_w, train_iters=args.iters,
+        num_steps=args.num_steps,
     )
     aug = DisparityAugmentor(crop_size=(tc.crop_h, tc.crop_w), seed=tc.seed)
     ds = fetch_dataset(args.dataset, args.datapath, test=False, mono=args.mono_precomputed, augmentor=aug)
     steps_per_epoch = max(len(ds) // tc.batch_size, 1)
-    total = steps_per_epoch * tc.epochs
+    total = tc.num_steps if tc.num_steps > 0 else steps_per_epoch * tc.epochs
 
     if args.multihost:
         mesh = mh.make_global_mesh()
@@ -374,6 +381,8 @@ def main(argv=None):
     pt.add_argument("--crop-h", type=int, default=320)
     pt.add_argument("--crop-w", type=int, default=640)
     pt.add_argument("--data-parallel", type=int, default=1)
+    pt.add_argument("--num-steps", type=int, default=0,
+                    help="override total steps (0 = epochs * dataset/batch)")
     pt.add_argument("--multihost", action="store_true",
                     help="multi-process pod training: jax.distributed init, "
                          "global mesh over all hosts, per-host input shards")

@@ -25,7 +25,6 @@ class StereoAnywhereConfig:
     corr_levels: int = 4
     n_gru_layers: int = 3
     n_downsample: int = 2
-    encoder_output_dim: int = 128
     context_dims: tuple[int, ...] = (128, 128, 128)
     fnet_dim: int = 256
 

@@ -108,12 +108,14 @@ class Evaluator:
         dataset_name: str = "middlebury",
         iscale: float = 1.0,
         oscale: float = 1.0,
+        pad_multiple: int = 32,
     ):
         self.stereo_fn = stereo_fn
         self.mono_fn = mono_fn
         self.dataset_name = dataset_name
         self.iscale = iscale
         self.oscale = oscale
+        self.pad_multiple = pad_multiple
 
     def run_sample(self, sample: dict) -> dict:
         im2 = sample["im2"][None]  # (1,H,W,3) in [0,1]
@@ -140,10 +142,10 @@ class Evaluator:
         mono2, mono3 = joint_minmax_normalize([jnp.asarray(mono2), jnp.asarray(mono3)])
         mono2, mono3 = np.asarray(mono2), np.asarray(mono3)
 
-        im2p, pads = pad_to_multiple(im2)
-        im3p, _ = pad_to_multiple(im3)
-        mono2p, _ = pad_to_multiple(mono2)
-        mono3p, _ = pad_to_multiple(mono3)
+        im2p, pads = pad_to_multiple(im2, self.pad_multiple)
+        im3p, _ = pad_to_multiple(im3, self.pad_multiple)
+        mono2p, _ = pad_to_multiple(mono2, self.pad_multiple)
+        mono3p, _ = pad_to_multiple(mono3, self.pad_multiple)
 
         disp = np.asarray(self.stereo_fn(im2p, im3p, mono2p, mono3p))
         disp = unpad(disp, pads)

@@ -250,7 +250,7 @@ class Trainer:
     def validate(
         self,
         samples,
-        iters: int = 32,
+        iters: int | None = None,
         metric: str = "bad 2.0",
         save_best_tag: str = "best",
     ) -> dict:
@@ -265,6 +265,8 @@ class Trainer:
 
         from stereoanywhere_tpu.eval.harness import Evaluator
 
+        if iters is None:
+            iters = self.cfg.valid_iters
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
         fwd = jax.jit(
             lambda im2, im3, m2, m3: self.model.apply(
