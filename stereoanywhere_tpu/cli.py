@@ -118,13 +118,29 @@ def cmd_eval(args):
         iscale=1.0, oscale=ec.oscale, pad_multiple=ec.pad_multiple,
     )
     t0 = time.time()
-    res = ev.run(ds, max_samples=args.max_samples)
-    dt = time.time() - t0
-    means = res.mean()
-    print(json.dumps({k: round(v, 4) for k, v in means.items()}, indent=2))
+    if args.tries > 1:
+        # repeatability loop with mean/std reporting (reference test.py:287-392)
+        from stereoanywhere_tpu.eval.report import run_tries
+
+        res = None
+
+        def once():
+            nonlocal res
+            res = ev.run(ds, max_samples=args.max_samples)
+            return res.mean()
+
+        means, stds = run_tries(once, args.tries)
+        dt = time.time() - t0
+        print(json.dumps({k: round(v, 4) for k, v in means.items()}, indent=2))
+        print(json.dumps({f"std:{k}": round(v, 4) for k, v in stds.items()}, indent=2))
+    else:
+        res = ev.run(ds, max_samples=args.max_samples)
+        dt = time.time() - t0
+        means = res.mean()
+        print(json.dumps({k: round(v, 4) for k, v in means.items()}, indent=2))
     print(f"({len(res.per_sample)} samples in {dt:.1f}s)")
     if args.csv:
-        res.to_csv(args.csv, {"dataset": args.dataset, "iters": args.iters})
+        res.to_csv(args.csv, {"dataset": ec.dataset, "iters": ec.iters, "tries": args.tries})
 
 
 def cmd_train(args):
@@ -368,6 +384,8 @@ def main(argv=None):
     pe.add_argument("--overfit", action="store_true")
     pe.add_argument("--max-samples", type=int, default=None)
     pe.add_argument("--mono-precomputed", default=None)
+    pe.add_argument("--tries", type=int, default=1,
+                    help="repeat the whole eval N times, report mean/std")
     pe.add_argument("--csv", default=None)
     pe.set_defaults(fn=cmd_eval)
 
