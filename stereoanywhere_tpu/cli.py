@@ -204,6 +204,22 @@ def cmd_train(args):
 
     from stereoanywhere_tpu.data.loader import PrefetchLoader
 
+    # Observability + provenance (reference train.py:524-529 SummaryWriter +
+    # args.json + backup_source_code) — only the first host writes.
+    logger = None
+    if args.savedir and shard_index == 0:
+        from stereoanywhere_tpu.utils.logging import MetricLogger, save_run_provenance
+
+        save_run_provenance(args.savedir, {"model": trainer.model.cfg, "train": tc})
+        logger = MetricLogger(args.savedir)
+
+    # Periodic validation with best-checkpoint selection (reference
+    # train.py:583-639, --do_validation/--valstep in run_train.sh).
+    val_ds = None
+    if args.val_datapath:
+        val_ds = fetch_dataset(args.val_dataset, args.val_datapath, test=True,
+                               mono=args.mono_precomputed)
+
     step = int(trainer.state.step)
     print(f"training: {len(ds)} pairs, {total} steps, starting at {step}")
     t0 = time.time()
@@ -229,6 +245,19 @@ def cmd_train(args):
                     f"epe {float(logs['epe/final']):.3f} ({(time.time()-t0)/args.log_every:.2f}s/step)"
                 )
                 t0 = time.time()
+                if logger is not None:
+                    logger.log(step, logs)
+            if val_ds is not None and step % args.val_every == 0:
+                vm = trainer.validate(
+                    val_ds, metric=args.val_metric,
+                    dataset_name=args.val_dataset, max_samples=args.val_samples,
+                )
+                print(
+                    f"val @ {step}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in sorted(vm.items()))
+                )
+                if logger is not None:
+                    logger.log(step, {f"val/{k}": v for k, v in vm.items()})
             if args.savedir and step % args.save_every == 0:
                 trainer.save("latest")
     stopped = trainer.stop_requested
@@ -401,6 +430,13 @@ def main(argv=None):
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--num-steps", type=int, default=0,
                     help="override total steps (0 = epochs * dataset/batch)")
+    pt.add_argument("--val-dataset", default="middlebury")
+    pt.add_argument("--val-datapath", default=None,
+                    help="enable periodic validation + best-checkpoint "
+                         "(val samples need precomputed mono via --mono-precomputed)")
+    pt.add_argument("--val-every", type=int, default=1000)
+    pt.add_argument("--val-metric", default="bad 2.0")
+    pt.add_argument("--val-samples", type=int, default=None)
     pt.add_argument("--multihost", action="store_true",
                     help="multi-process pod training: jax.distributed init, "
                          "global mesh over all hosts, per-host input shards")

@@ -253,6 +253,9 @@ class Trainer:
         iters: int | None = None,
         metric: str = "bad 2.0",
         save_best_tag: str = "best",
+        mono_fn=None,
+        dataset_name: str = "middlebury",
+        max_samples: int | None = None,
     ) -> dict:
         """Periodic validation with best-checkpoint selection by a
         configurable metric (reference train.py:583-639 val loop).
@@ -277,8 +280,8 @@ class Trainer:
         def stereo_fn(im2, im3, m2, m3):
             return fwd(*(jnp.asarray(x) for x in (im2, im3, m2, m3)))
 
-        ev = Evaluator(stereo_fn, mono_fn=None)
-        res = ev.run(samples)
+        ev = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name=dataset_name)
+        res = ev.run(samples, max_samples=max_samples)
         means = res.mean()
         score = means.get(metric, float("nan"))
         if not hasattr(self, "_best_val"):

@@ -89,6 +89,23 @@ def test_gt_as_mono_branch(trainer, rng):
     assert logs["mono_source/gt"] == 0.0
 
 
+def test_validate_best_checkpoint(trainer, rng, tmp_path):
+    """Periodic validation: metrics dict + best-checkpoint selection
+    (reference train.py:583-639)."""
+    h, w = 32, 64
+    sample = {
+        "im2": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+        "im3": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+        "gt": rng.uniform(0, 16, (h, w, 1)).astype(np.float32),
+        "validgt": np.ones((h, w, 1), np.float32),
+        "im2_mono": rng.uniform(0, 1, (h, w, 1)).astype(np.float32),
+        "im3_mono": rng.uniform(0, 1, (h, w, 1)).astype(np.float32),
+    }
+    means = trainer.validate([sample], iters=2, metric="bad 2.0")
+    assert "bad 2.0" in means and np.isfinite(means["bad 2.0"])
+    assert means["is_best"] == 1.0  # first validation is always the best
+
+
 def test_checkpoint_roundtrip(trainer, rng):
     step_before = int(trainer.state.step)
     ref_kernel = np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"])
