@@ -116,6 +116,7 @@ def cmd_eval(args):
     ev = Evaluator(
         stereo_fn, mono_fn, ec.dataset,
         iscale=1.0, oscale=ec.oscale, pad_multiple=ec.pad_multiple,
+        save_images_dir=args.save_images,
     )
     t0 = time.time()
     if args.tries > 1:
@@ -415,6 +416,8 @@ def main(argv=None):
     pe.add_argument("--mono-precomputed", default=None)
     pe.add_argument("--tries", type=int, default=1,
                     help="repeat the whole eval N times, report mean/std")
+    pe.add_argument("--save-images", default=None,
+                    help="dump qualitative PNG grids per sample to this dir")
     pe.add_argument("--csv", default=None)
     pe.set_defaults(fn=cmd_eval)
 

@@ -109,6 +109,7 @@ class Evaluator:
         iscale: float = 1.0,
         oscale: float = 1.0,
         pad_multiple: int = 32,
+        save_images_dir: str | None = None,
     ):
         self.stereo_fn = stereo_fn
         self.mono_fn = mono_fn
@@ -116,6 +117,8 @@ class Evaluator:
         self.iscale = iscale
         self.oscale = oscale
         self.pad_multiple = pad_multiple
+        self.save_images_dir = save_images_dir
+        self._sample_idx = 0
 
     def run_sample(self, sample: dict) -> dict:
         im2 = sample["im2"][None]  # (1,H,W,3) in [0,1]
@@ -157,6 +160,31 @@ class Evaluator:
         m = guided_metrics(disp[0, ..., 0], gt[0, ..., 0], valid[0, ..., 0],
                            maskocc[0, ..., 0] if maskocc is not None else None)
         m.pop("errormap", None)
+
+        if self.save_images_dir:
+            # qualitative grids (reference test.py:298-334 --save_images)
+            from stereoanywhere_tpu.utils.logging import dump_images
+            from stereoanywhere_tpu.utils.visualization import (
+                bad_tau_map,
+                colorize_disparity,
+                kitti_error_colormap,
+            )
+
+            d0, g0, v0 = disp[0, ..., 0], gt[0, ..., 0], valid[0, ..., 0]
+            vmax = float(np.percentile(g0[v0 > 0], 97)) if (v0 > 0).any() else None
+            dump_images(
+                self.save_images_dir,
+                self._sample_idx,
+                {
+                    "left": sample["im2"],
+                    "dmap": colorize_disparity(d0, vmax),
+                    "gt": colorize_disparity(np.where(v0 > 0, g0, 0.0), vmax),
+                    "maemap": kitti_error_colormap(d0, g0, v0),
+                    "metricmap": bad_tau_map(d0, g0, v0),
+                    "mono": np.repeat(np.clip(mono2[0], 0, 1), 3, axis=-1),
+                },
+            )
+            self._sample_idx += 1
 
         if "gt_depth" in sample:
             # disp -> depth via fixed rig constants (reference test_monotrap.py:246-250)

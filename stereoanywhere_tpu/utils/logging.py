@@ -52,6 +52,8 @@ def dump_images(outdir: str, step: int, images: Mapping[str, np.ndarray]):
             arr = arr[..., 0]
         if arr.ndim == 2:
             rgb = colorize_disparity(arr)
+        elif arr.dtype == np.uint8:
+            rgb = arr
         else:
             rgb = np.clip(arr * 255, 0, 255).astype(np.uint8)
         Image.fromarray(rgb).save(os.path.join(outdir, f"{step:08d}_{name}.png"))

@@ -51,12 +51,20 @@ def test_evaluator_end_to_end(tmp_path, rng):
         # stand-in VFM: inverse-luma "depth" (shape/protocol identical)
         return 1.0 - images01.mean(axis=-1, keepdims=True)
 
-    ev = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name="middlebury")
+    imgdir = str(tmp_path / "imgs")
+    ev = Evaluator(
+        stereo_fn, mono_fn=mono_fn, dataset_name="middlebury", save_images_dir=imgdir
+    )
     res = ev.run(ds)
     means = res.mean()
     for key in ("bad 2.0", "avgerr", "rms"):
         assert key in means, sorted(means)
         assert np.isfinite(means[key])
+
+    # qualitative dumps (reference test.py:298-334): one PNG per panel
+    dumped = sorted(os.listdir(imgdir))
+    for panel in ("left", "dmap", "gt", "maemap", "metricmap", "mono"):
+        assert any(panel in f for f in dumped), (panel, dumped)
 
     csv_path = str(tmp_path / "out.csv")
     res.to_csv(csv_path, extra_cols={"dataset": "middlebury", "iters": 2})
