@@ -170,7 +170,9 @@ def cmd_train(args):
     tc = TrainConfig(
         lr=args.lr, batch_size=args.batch_size, epochs=args.epochs,
         crop_h=args.crop_h, crop_w=args.crop_w, train_iters=args.iters,
-        num_steps=args.num_steps,
+        num_steps=args.num_steps, seed=args.seed, debug_grad=args.debug_grad,
+        gt_mono_prob=args.gt_mono_prob,
+        things_to_freeze=tuple(filter(None, args.freeze.split(","))),
     )
     aug = DisparityAugmentor(crop_size=(tc.crop_h, tc.crop_w), seed=tc.seed)
     ds = fetch_dataset(args.dataset, args.datapath, test=False, mono=args.mono_precomputed, augmentor=aug)
@@ -195,7 +197,11 @@ def cmd_train(args):
     else:
         mesh = make_mesh(data=args.data_parallel) if args.data_parallel > 1 else None
     trainer = Trainer(
-        StereoAnywhereConfig(compute_dtype=args.dtype), tc, total,
+        StereoAnywhereConfig(
+            compute_dtype=args.dtype,
+            volume_corruption_prob=args.corruption_prob,
+        ),
+        tc, total,
         mesh=mesh, checkpoint_dir=args.savedir, sample_shape=(tc.crop_h, tc.crop_w),
     )
     if args.resume:
@@ -433,6 +439,14 @@ def main(argv=None):
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--num-steps", type=int, default=0,
                     help="override total steps (0 = epochs * dataset/batch)")
+    pt.add_argument("--seed", type=int, default=1337)
+    pt.add_argument("--debug-grad", action="store_true",
+                    help="per-parameter NaN/Inf gradient census to json")
+    pt.add_argument("--gt-mono-prob", type=float, default=0.3)
+    pt.add_argument("--corruption-prob", type=float, default=0.3,
+                    help="volume-corruption augmentation probability")
+    pt.add_argument("--freeze", default="fnet",
+                    help="comma list of groups to freeze: fnet,cnet,monoagg")
     pt.add_argument("--val-dataset", default="middlebury")
     pt.add_argument("--val-datapath", default=None,
                     help="enable periodic validation + best-checkpoint "
