@@ -89,8 +89,14 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
             var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes) - jnp.square(mean)
             if not self.is_initializing():
+                # torch updates running_var with the UNBIASED batch variance
+                # (Bessel n/(n-1)) while normalizing with the biased one
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
         # apply in the input dtype (avoid materializing f32 activations)
         inv = (jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)).astype(x.dtype) * scale.astype(x.dtype)
         return (x - mean.astype(x.dtype)) * inv + bias.astype(x.dtype)

@@ -141,9 +141,10 @@ class StereoAnywhere(nn.Module):
         # step (reference train.py:245), so BatchNorm always normalizes with
         # running stats; batch-stat mode exists only behind freeze_bn=False.
         norm_train = train and not cfg.freeze_bn
-        cnet_out = ContextEncoder(name="cnet")(
-            jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=norm_train
-        )
+        cnet_out = ContextEncoder(
+            output_dims=(tuple(cfg.context_dims), tuple(cfg.context_dims)),
+            name="cnet",
+        )(jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=norm_train)
         net_list = [jnp.tanh(o[0]) for o in cnet_out]
         inp_list = []
         for i, o in enumerate(cnet_out):
@@ -197,6 +198,14 @@ class StereoAnywhere(nn.Module):
                 agg_s = Hourglass(
                     cfg.vol_n_masks, cfg.volume_channels, folded=True, name="hourglass_stereo"
                 )(masked_stereo, fmde2, fmde3)
+                # stereo stack (ref :150-151; same identity-first quirk as mono)
+                for i in range(cfg.n_additional_hourglass):
+                    if i == 0:
+                        continue  # HourglassIdentity
+                    agg_s = Hourglass(
+                        cfg.volume_channels, cfg.volume_channels, folded=True,
+                        name=f"hourglass_stereo_stack_{i}",
+                    )(agg_s, fmde2, fmde3)
                 w2_vol = left_masks.shape[2]
                 agg_disp_stereo = (
                     Conv3dClassifier(name="classifier_stereo")(agg_s, folded_w=w2_vol)
@@ -210,6 +219,13 @@ class StereoAnywhere(nn.Module):
                 agg_s = Hourglass(cfg.vol_n_masks, cfg.volume_channels, name="hourglass_stereo")(
                     masked_stereo, fmde2, fmde3
                 )
+                for i in range(cfg.n_additional_hourglass):
+                    if i == 0:
+                        continue  # HourglassIdentity
+                    agg_s = Hourglass(
+                        cfg.volume_channels, cfg.volume_channels,
+                        name=f"hourglass_stereo_stack_{i}",
+                    )(agg_s, fmde2, fmde3)
                 agg_s = agg_s.transpose(0, 2, 3, 1, 4)
                 agg_disp_stereo = Conv3dClassifier(name="classifier_stereo")(agg_s).astype(jnp.float32)[..., 0]
             coarse_dispstereo2_low = estimate_left_disparity(agg_disp_stereo)

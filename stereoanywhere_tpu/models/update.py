@@ -14,25 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stereoanywhere_tpu.models.layers import Conv
+from stereoanywhere_tpu.models.layers import Conv, ParamConv
 from stereoanywhere_tpu.ops.interp import interp_like, pool2x
-
-
-class _ConvParams(nn.Module):
-    """Bare conv parameters under torch-compatible paths (kernel/bias), so
-    sibling convs with a shared input can be fused into one MXU call."""
-
-    features: int
-    kernel_size: int = 3
-
-    @nn.compact
-    def __call__(self, in_features: int):
-        from stereoanywhere_tpu.models.layers import kaiming_normal_fan_out
-
-        k = self.kernel_size
-        kernel = self.param("kernel", kaiming_normal_fan_out(), (k, k, in_features, self.features))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return kernel, bias
 
 
 class ConvGRU(nn.Module):
@@ -53,9 +36,9 @@ class ConvGRU(nn.Module):
         x = jnp.concatenate(x_list, axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
 
-        kz, bz = _ConvParams(self.hidden_dim, k, name="convz")(hx.shape[-1])
-        kr, br = _ConvParams(self.hidden_dim, k, name="convr")(hx.shape[-1])
-        kq, bq = _ConvParams(self.hidden_dim, k, name="convq")(h.shape[-1] + x.shape[-1])
+        kz, bz = ParamConv(self.hidden_dim, k, name="convz")(hx.shape[-1])
+        kr, br = ParamConv(self.hidden_dim, k, name="convr")(hx.shape[-1])
+        kq, bq = ParamConv(self.hidden_dim, k, name="convq")(h.shape[-1] + x.shape[-1])
 
         def conv(inp, kernel, bias):
             y = jax.lax.conv_general_dilated(
@@ -72,6 +55,33 @@ class ConvGRU(nn.Module):
         r = jax.nn.sigmoid(zr[..., self.hidden_dim :] + cr)
         q = jnp.tanh(conv(jnp.concatenate([r * h, x], axis=-1), kq, bq) + cq)
         return (1 - z) * h + z * q
+
+
+def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion):
+    """Shared 3-level ConvGRU cascade with cross-scale pooling/interp
+    (reference update.py:164-183) — the common body of MultiUpdateBlock,
+    MultiUpdateScalerBlock and RefinementStep.  Must be called inside an
+    @nn.compact parent; submodule names (gru32/gru16/gru08) land in the
+    caller's scope, preserving the torch-converter paths.  `motion` does not
+    depend on net, so computing it before or after gru16 is equivalent."""
+    hd = hidden_dims
+    net = list(net)
+    if n_gru_layers == 3:
+        net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
+    if n_gru_layers >= 2:
+        if n_gru_layers > 2:
+            net[1] = ConvGRU(hd[1], name="gru16")(
+                net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+            )
+        else:
+            net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
+    if n_gru_layers > 1:
+        net[0] = ConvGRU(hd[2], name="gru08")(
+            net[0], *inp[0], motion, interp_like(net[1], net[0])
+        )
+    else:
+        net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+    return net
 
 
 class MotionEncoder(nn.Module):
@@ -188,25 +198,8 @@ class MultiUpdateScalerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, corr_mono, flow, flow_conf):
-        hd = self.hidden_dims
-        net = list(net)
-
-        if self.n_gru_layers == 3:
-            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
-        if self.n_gru_layers >= 2:
-            if self.n_gru_layers > 2:
-                net[1] = ConvGRU(hd[1], name="gru16")(
-                    net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
-                )
-            else:
-                net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
         motion = ConfidenceAwareMotionEncoder(name="encoder")(flow, flow_conf, corr, corr_mono)
-        if self.n_gru_layers > 1:
-            net[0] = ConvGRU(hd[2], name="gru08")(
-                net[0], *inp[0], motion, interp_like(net[1], net[0])
-            )
-        else:
-            net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+        net = gru_cascade(self.hidden_dims, self.n_gru_layers, net, inp, motion)
 
         gscale_gshift = ScaleShiftUpdateHead(256, 2, name="gscale_gshift_head")(net[0])
         delta_gscale = gscale_gshift[..., 0:1]
@@ -230,26 +223,8 @@ class MultiUpdateBlock(nn.Module):
 
     @nn.compact
     def __call__(self, net, inp, corr, corr_mono, flow):
-        hd = self.hidden_dims
-        net = list(net)
-
-        if self.n_gru_layers == 3:
-            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
-        if self.n_gru_layers >= 2:
-            if self.n_gru_layers > 2:
-                net[1] = ConvGRU(hd[1], name="gru16")(
-                    net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
-                )
-            else:
-                net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
-
         motion = MotionEncoder(name="encoder")(flow, corr, corr_mono)
-        if self.n_gru_layers > 1:
-            net[0] = ConvGRU(hd[2], name="gru08")(
-                net[0], *inp[0], motion, interp_like(net[1], net[0])
-            )
-        else:
-            net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+        net = gru_cascade(self.hidden_dims, self.n_gru_layers, net, inp, motion)
 
         delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
 
@@ -312,24 +287,8 @@ class RefinementStep(nn.Module):
         flow_x = coords1 - coords0
         flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1).astype(cdt)
 
-        hd = self.hidden_dims
-        net = list(net)
-        if self.n_gru_layers == 3:
-            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
-        if self.n_gru_layers >= 2:
-            if self.n_gru_layers > 2:
-                net[1] = ConvGRU(hd[1], name="gru16")(
-                    net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
-                )
-            else:
-                net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
         motion = MotionEncoder(name="encoder")(flow2, stereo_corr, mono_corr)
-        if self.n_gru_layers > 1:
-            net[0] = ConvGRU(hd[2], name="gru08")(
-                net[0], *inp[0], motion, interp_like(net[1], net[0])
-            )
-        else:
-            net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+        net = gru_cascade(self.hidden_dims, self.n_gru_layers, net, inp, motion)
 
         delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
 

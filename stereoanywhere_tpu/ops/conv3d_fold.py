@@ -40,18 +40,24 @@ import jax
 import jax.numpy as jnp
 
 
-def _pick_block(w: int, target: int = 32) -> int:
-    """Largest divisor of w that is <= max(target, smallest divisor >= 8)."""
-    best = w
+def _pick_block(w: int, target: int = 32, multiple: int = 1) -> int:
+    """Largest divisor of w that is <= target (preferring >= 8) and a
+    multiple of `multiple` (the folded-axis stride: strided banded convs
+    require block_w % sw == 0 — W=544 -> w4=136 would otherwise pick the odd
+    divisor 17 and crash every stride-2 hourglass conv)."""
+    best = None
     for d in range(1, w + 1):
-        if w % d == 0 and d >= 8:
+        if w % d == 0 and d % multiple == 0:
             if d <= target:
-                best = d
-            else:
-                # first divisor above target: keep it only if nothing <= target
-                if best == w and best > 48:
+                if best is None or d > best or (best < 8 <= d):
                     best = d
+            elif best is None or best < 8:
+                # smallest divisor above target, only if nothing decent below
+                best = d
                 break
+            else:
+                break
+    assert best is not None and w % best == 0 and best % multiple == 0, (w, multiple)
     return best
 
 
@@ -95,7 +101,7 @@ def conv3d_folded(
     )
 
     if block_w is None:
-        block_w = _pick_block(w)
+        block_w = _pick_block(w, multiple=sw)
     assert w % block_w == 0 and block_w % sw == 0, (w, block_w, sw)
     nb = w // block_w
     wb_in = block_w + kw - 1

@@ -75,7 +75,7 @@ def conv3d_folded_io(
         "fold assumes size-preserving (stride-divided) conv on the folded axis"
     )
     if block_w is None:
-        block_w = _pick_block(w)
+        block_w = _pick_block(w, multiple=sw)
     assert w % block_w == 0 and block_w % sw == 0, (w, block_w, sw)
     nb = w // block_w
     wb_in = block_w + kw - 1

@@ -15,13 +15,14 @@ from stereoanywhere_tpu.ops.interp import sample_1d_linear
 def joint_minmax_normalize(xs: list[jax.Array], eps: float = 1e-4) -> list[jax.Array]:
     """Joint per-sample min-max normalization over a list of NHWC tensors.
 
-    Reference `normalize` (utils/utils.py:56-71): min/max are taken per sample
-    over H,W (and jointly over the list), with stop_gradient on the statistics.
+    Reference `normalize` (utils/utils.py:56-71): min/max are PER CHANNEL
+    (max_pool2d over the full H,W window keeps the channel axis), per sample,
+    jointly over the list, with stop_gradient on the statistics.
     """
     import functools
 
-    mins = [jnp.min(x, axis=(1, 2, 3), keepdims=True) for x in xs]
-    maxs = [jnp.max(x, axis=(1, 2, 3), keepdims=True) for x in xs]
+    mins = [jnp.min(x, axis=(1, 2), keepdims=True) for x in xs]
+    maxs = [jnp.max(x, axis=(1, 2), keepdims=True) for x in xs]
     lo = jax.lax.stop_gradient(functools.reduce(jnp.minimum, mins))
     hi = jax.lax.stop_gradient(functools.reduce(jnp.maximum, maxs))
     return [(x - lo) / (hi - lo + eps) for x in xs]

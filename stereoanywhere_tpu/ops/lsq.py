@@ -31,8 +31,10 @@ def weighted_lsq(
     within [q20, q90] of disp; conf' = 0.9*conf + 0.1; minimize
     sum conf' * (scale*mde + shift - disp)^2.
 
-    `extra_weight` (same shape, in {0,1}) optionally masks invalid pixels —
-    used by the tile-parallel path to exclude halo pixels.
+    `extra_weight` (same shape, in {0,1}) optionally zero-weights pixels in
+    the normal equations.  NOTE: the quantile trim thresholds are computed
+    over the FULL tensor before extra_weight applies — callers that need
+    excluded pixels out of the trim statistics too must mask `disp` first.
     """
     b = mde.shape[0]
     m = jnp.abs(mde.reshape(b, -1).astype(jnp.float32))

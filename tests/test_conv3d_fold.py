@@ -52,6 +52,23 @@ def test_pick_block():
     for w in (8, 16, 24, 40, 48, 96, 128, 312, 752):
         b = _pick_block(w)
         assert w % b == 0
+    # stride-2 convs need an even block: W=544 -> w4=136 (divisors 8,17,34..)
+    # used to pick 17 and crash every strided hourglass conv
+    for w in (136, 152, 184, 200, 216, 68, 34):
+        b = _pick_block(w, multiple=2)
+        assert w % b == 0 and b % 2 == 0, (w, b)
+    assert _pick_block(136, multiple=2) == 8
+
+
+@pytest.mark.parametrize("w", [136, 152])
+def test_folded_stride2_odd_factor_widths(rng, w):
+    """Regression: widths whose divisors near 32 are odd (544/4=136 etc.)
+    must still run the strided banded conv and match the direct conv3d."""
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, w, 2)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 2, 4)).astype(np.float32))
+    want = np.asarray(_direct(x, k, (2, 2, 2), 1))
+    got = np.asarray(conv3d_folded(x, k, (2, 2, 2), 1))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
 def test_fold_and_direct_paths_share_init_and_output(rng):

@@ -89,6 +89,79 @@ def test_train_mode_and_gradients(model_and_params, tiny_inputs):
     assert frac > 0.9, f"only {frac:.2%} of params got nonzero grads"
 
 
+def test_batchnorm_running_stats_match_torch(rng):
+    """Batch-stat mode (freeze_bn=False): normalization uses the biased batch
+    variance but running_var updates with the UNBIASED one, like torch."""
+    import torch
+
+    from stereoanywhere_tpu.models.layers import BatchNorm
+
+    x = rng.standard_normal((2, 5, 7, 3)).astype(np.float32)
+
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), use_running_average=False)
+    y, mutated = bn.apply(
+        variables, jnp.asarray(x), use_running_average=False, mutable=["batch_stats"]
+    )
+
+    tbn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    tbn.train()
+    with torch.no_grad():
+        ty = tbn(torch.from_numpy(x).permute(0, 3, 1, 2))
+
+    np.testing.assert_allclose(
+        np.asarray(y), ty.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_nondefault_context_dims_forward(rng):
+    """cfg.context_dims must thread into the context encoder; mismatched
+    dims used to break the GRU scan carry (64ch hidden vs 128ch cnet)."""
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    cfg = StereoAnywhereConfig(context_dims=(64, 64, 64))
+    model = StereoAnywhere(cfg)
+    args = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, 32, 64, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+    )
+    variables = jax.jit(lambda k: model.init(k, *args, iters=2, test_mode=True))(
+        jax.random.PRNGKey(0)
+    )
+    out = model.apply(variables, *args, iters=2, test_mode=True)
+    assert np.isfinite(np.asarray(out["disparity"])).all()
+
+
+def test_stereo_stack_hourglass_applied(rng):
+    """use_aggregate_stereo_vol + n_additional_hourglass: the stereo stack
+    loop must create/apply hourglass_stereo_stack_i (identity-first quirk)."""
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    cfg = StereoAnywhereConfig(use_aggregate_stereo_vol=True, n_additional_hourglass=2)
+    model = StereoAnywhere(cfg)
+    args = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, 32, 64, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+    )
+    variables = jax.jit(lambda k: model.init(k, *args, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0)
+    )
+    params = variables["params"]
+    assert "hourglass_stereo_stack_1" in params, sorted(params)
+    assert "hourglass_mono_stack_1" in params
+    assert "hourglass_stereo_stack_0" not in params  # HourglassIdentity slot
+    out = model.apply(variables, *args, iters=1, test_mode=True)
+    assert np.isfinite(np.asarray(out["disparity"])).all()
+
+
 def test_paired_feature_encoder_exact():
     """Folded-pair fnet (views in channels, block-diagonal kernels) computes
     the same math as the unpaired path — the extra multiplications are by

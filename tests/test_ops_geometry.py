@@ -28,6 +28,19 @@ def test_joint_minmax_normalize(rng):
     np.testing.assert_allclose(np.asarray(nb), (b - lo) / (hi - lo + 1e-4), rtol=1e-5)
 
 
+def test_joint_minmax_normalize_per_channel(rng):
+    """Reference normalize keeps the channel axis: max_pool2d over (H,W) only
+    (reference utils/utils.py:64-67) — each channel uses its own min/max."""
+    a = rng.uniform(-3, 5, (2, 4, 6, 3)).astype(np.float32)
+    a[..., 2] *= 100.0  # a channel with a wildly different range
+    (na,) = joint_minmax_normalize([jnp.asarray(a)])
+    lo = a.min(axis=(1, 2), keepdims=True)
+    hi = a.max(axis=(1, 2), keepdims=True)
+    np.testing.assert_allclose(np.asarray(na), (a - lo) / (hi - lo + 1e-4), rtol=1e-5)
+    # every channel individually spans ~[0, 1]
+    assert np.asarray(na).max(axis=(1, 2)).min() > 0.99
+
+
 def test_central_gradients_replicate(rng):
     x = rng.standard_normal((1, 5, 6, 1)).astype(np.float32)
     gx, gy = central_gradients(jnp.asarray(x))
