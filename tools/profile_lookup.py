@@ -8,6 +8,10 @@ bilinear_sampler math):
            (current TPU default)
   inline   per-tap tent recomputed from (iota, pos) inside each tap's
            fusion — no materialized g, floor traffic = K x levels
+  pl-lag   Pallas single-pass lagged-product (shared g in VMEM, static
+           lane-shifted slices; ops/pallas/corr_lagged.py)
+  pl-tent  Pallas single-pass dense-tent (ops/pallas/corr_tent.py;
+           documented VPU-bound negative result)
 
 Usage: python tools/profile_lookup.py [--size 512]
 """
@@ -71,6 +75,21 @@ def main():
             return sum(outs)
 
         t = chained_timer(lk, coords, *levels_a, *levels_b, n_chain=args.n_chain)
+        print(f"{name:10s} {t*1e3:8.3f} ms / iteration-pair")
+
+    from stereoanywhere_tpu.ops.pallas.corr_lagged import dual_lookup_lagged
+    from stereoanywhere_tpu.ops.pallas.corr_tent import dual_lookup_tent
+
+    for name, dual_fn in [("pl-lag", dual_lookup_lagged), ("pl-tent", dual_lookup_tent)]:
+        def lk_pl(coords, *levels):
+            oa, ob = dual_fn(levels[:4], levels[4:], coords, 4)
+            return jnp.mean(oa.astype(jnp.float32)) + jnp.mean(ob.astype(jnp.float32))
+
+        try:
+            t = chained_timer(lk_pl, coords, *levels_a, *levels_b, n_chain=args.n_chain)
+        except Exception as e:  # noqa: BLE001 — report and keep comparing
+            print(f"{name:10s} FAILED: {type(e).__name__}: {e}")
+            continue
         print(f"{name:10s} {t*1e3:8.3f} ms / iteration-pair")
 
 
