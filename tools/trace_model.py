@@ -1,0 +1,122 @@
+"""Device-trace breakdown of one full forward on the real chip.
+
+Captures a jax.profiler trace of a single jitted forward (after warmup),
+parses the perfetto trace.json.gz, and prints per-op totals grouped by HLO
+op name prefix — the ground truth behind ARCHITECTURE.md's budget tables
+(isolated microbenchmarks on this remote runtime mislead; see the
+"Measured performance budget" note there).
+
+Usage: python tools/trace_model.py [--size 1024] [--iters 32] [--top 40]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def summarize(trace_dir: str, top: int) -> None:
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not paths:
+        print("no trace.json.gz produced", file=sys.stderr)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        trace = json.load(f)
+
+    # Device-lane complete events only (TensorFlow-style perfetto dump:
+    # pid/tid map to device lanes; host threads carry python/runtime spans
+    # we don't want).  Device lanes are named like "/device:TPU:0 ..." in
+    # process_name metadata.
+    device_pids = set()
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            name = ev.get("args", {}).get("name", "")
+            if "TPU" in name or "device" in name.lower():
+                device_pids.add(ev["pid"])
+
+    totals: dict[str, float] = defaultdict(float)
+    counts: dict[str, int] = defaultdict(int)
+    grand = 0.0
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
+            continue
+        dur = ev.get("dur", 0) / 1e3  # us -> ms
+        name = ev.get("name", "?")
+        totals[name] += dur
+        counts[name] += 1
+        grand += dur
+
+    print(f"trace: {path}")
+    print(f"device total (sum of op spans): {grand:.2f} ms")
+    print(f"{'ms':>10}  {'n':>5}  op")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{ms:10.3f}  {counts[name]:5d}  {name[:120]}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--out", default="/tmp/jax_trace_model")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    print(f"backend={jax.default_backend()}", flush=True)
+    h = w = args.size
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    model = StereoAnywhere(cfg)
+    rng = np.random.default_rng(0)
+    xs = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+    )
+    tiny = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, 64, 96, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+    )
+    init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
+    variables = init_fn(jax.random.PRNGKey(0), *tiny)
+    if args.dtype == "bfloat16":
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+        )
+
+    @jax.jit
+    def fwd(im2, im3, m2, m3):
+        return jnp.mean(
+            model.apply(variables, im2, im3, m2, m3, iters=args.iters, test_mode=True)[
+                "disparity"
+            ]
+        )
+
+    float(fwd(*xs))  # compile + warmup
+    float(fwd(*xs))
+
+    os.makedirs(args.out, exist_ok=True)
+    with jax.profiler.trace(args.out):
+        float(fwd(*xs))
+
+    summarize(args.out, args.top)
+
+
+if __name__ == "__main__":
+    main()
