@@ -369,7 +369,38 @@ class StereoAnywhere(nn.Module):
         )
         inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)
-        consts = (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0)
+
+        # Lookup dispatch.  The Pallas barrel-shift kernel
+        # (ops/pallas/corr_barrel.py) reads each volume level from HBM
+        # exactly once per iteration, but measured SLOWER than the XLA
+        # formulations on v5e (0.65 ms vs 0.18 ms per iteration-pair at
+        # 512^2 — Mosaic lane rotates are not cheap); "auto" therefore
+        # resolves to the XLA path and "barrel" must be forced explicitly
+        # (inference-only: the kernel has no VJP).  The packed interleave is
+        # hoisted here, outside the scan.
+        use_barrel = (
+            cfg.lookup_impl == "barrel"
+            and test_mode
+            and cdt == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and (b * h4) % 4 == 0
+            and 2 * cfg.corr_radius + 1 <= 16
+        )
+        if use_barrel:
+            from stereoanywhere_tpu.ops.pallas.corr_barrel import pack_pyramid_pair
+
+            step_kw["lookup_impl"] = "barrel"
+            step_kw["lookup_wls"] = tuple(l.shape[-1] for l in stereo_pyr.levels)
+            packed = pack_pyramid_pair(stereo_pyr.levels, mono_pyr.levels, cfg.corr_radius)
+            consts = (packed, (), inp_list, coords0)
+        else:
+            # "auto" -> inline: parity with lagged at 512^2 (66.4 vs 66.9 ms
+            # full forward) and 9 ms faster at 1024^2 (352.6 vs 361.8 ms) —
+            # the inline tent rebuild fuses into each tap's multiply-reduce,
+            # so the shared g array is never materialized + re-read
+            # (device traces 2026-08-18, tools/trace_model.py).
+            step_kw["lookup_impl"] = "inline" if cfg.lookup_impl == "auto" else cfg.lookup_impl
+            consts = (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0)
 
         def make_scan(length, **kw):
             # unroll amortizes the while-loop's per-iteration kernel-launch

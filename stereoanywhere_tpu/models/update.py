@@ -262,6 +262,13 @@ class RefinementStep(nn.Module):
     emit_outputs: bool = True  # False in test mode: no per-iter ys
     compute_dtype: str = "float32"
     compute_mask: bool = True  # False: skip the convex-upsample mask head
+    # "lagged"/"inline": consts[0]/consts[1] are the two pyramids' level
+    # tuples, looked up via the XLA pair formulations (ops/corr_lookup.py).
+    # "barrel": consts[0] is the volume-interleaved packed levels
+    # (ops/pallas/corr_barrel.py pack_pyramid_pair), consts[1] is empty, and
+    # lookup_wls carries the logical level widths.
+    lookup_impl: str = "lagged"
+    lookup_wls: tuple = ()
 
     @nn.compact
     def __call__(self, carry, consts):
@@ -279,9 +286,19 @@ class RefinementStep(nn.Module):
 
         coords1 = jax.lax.stop_gradient(coords1)
         lookup_x = coords1[..., 0]
-        stereo_corr, mono_corr = lookup_corr_pyramid_pair(
-            CorrPyramid(stereo_levels, radius), CorrPyramid(mono_levels, radius), lookup_x
-        )
+        if self.lookup_impl == "barrel":
+            from stereoanywhere_tpu.ops.pallas.corr_barrel import lookup_packed_pair
+
+            stereo_corr, mono_corr = lookup_packed_pair(
+                stereo_levels, lookup_x, radius, self.lookup_wls
+            )
+        else:
+            stereo_corr, mono_corr = lookup_corr_pyramid_pair(
+                CorrPyramid(stereo_levels, radius),
+                CorrPyramid(mono_levels, radius),
+                lookup_x,
+                impl=self.lookup_impl,
+            )
         stereo_corr = stereo_corr.astype(cdt)
         mono_corr = mono_corr.astype(cdt)
         flow_x = coords1 - coords0

@@ -174,15 +174,17 @@ def _lookup_level_lagged_pair(
 
 
 def lookup_corr_pyramid_pair(
-    pyr_a: CorrPyramid, pyr_b: CorrPyramid, coords: jax.Array
+    pyr_a: CorrPyramid, pyr_b: CorrPyramid, coords: jax.Array, impl: str = "lagged"
 ) -> tuple[jax.Array, jax.Array]:
     """lookup_corr_pyramid for two pyramids sharing the same coords; on TPU
-    the per-level tent arrays are built once for both."""
+    the per-level tent arrays (lagged) or tent fusions (inline) are shared
+    by both volumes.  impl: "lagged" | "inline" (see the pair functions)."""
     if jax.default_backend() == "cpu":
         return lookup_corr_pyramid(pyr_a, coords), lookup_corr_pyramid(pyr_b, coords)
+    pair_fn = _lookup_level_inline_tent_pair if impl == "inline" else _lookup_level_lagged_pair
     outs_a, outs_b = [], []
     for i, (la, lb) in enumerate(zip(pyr_a.levels, pyr_b.levels)):
-        oa, ob = _lookup_level_lagged_pair(la, lb, coords / (2 ** i), pyr_a.radius)
+        oa, ob = pair_fn(la, lb, coords / (2 ** i), pyr_a.radius)
         outs_a.append(oa)
         outs_b.append(ob)
     return jnp.concatenate(outs_a, axis=-1), jnp.concatenate(outs_b, axis=-1)

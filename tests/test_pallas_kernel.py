@@ -92,3 +92,24 @@ def test_tent_single_pass_matches_xla(rng):
         got_s, got_m = dual_lookup_tent(spyr.levels, mpyr.levels, coords, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=5e-5)
         np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-4, atol=5e-5)
+
+
+def test_barrel_single_pass_matches_xla(rng):
+    """corr_barrel.py single-pass barrel-shift kernel: per-row log-step lane
+    rotation replaces the per-tap cross-lane reductions; matches the XLA
+    pair lookup incl. tiny levels (Wl < 2r+2, lane-padded)."""
+    from stereoanywhere_tpu.ops.corr_lookup import CorrPyramid, lookup_corr_pyramid_pair
+    from stereoanywhere_tpu.ops.pallas.corr_barrel import dual_lookup_barrel
+
+    for (b, h, w2, w3) in [(1, 8, 16, 32), (1, 8, 128, 128), (1, 8, 40, 40)]:
+        svol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        mvol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-2, w3 + 2, (b, h, w2)).astype(np.float32))
+        spyr = build_corr_pyramid(svol, 4, 4)
+        mpyr = build_corr_pyramid(mvol, 4, 4)
+        ref_s, ref_m = lookup_corr_pyramid_pair(
+            CorrPyramid(spyr.levels, 4), CorrPyramid(mpyr.levels, 4), coords
+        )
+        got_s, got_m = dual_lookup_barrel(spyr.levels, mpyr.levels, coords, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-4, atol=5e-5)

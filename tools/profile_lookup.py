@@ -77,10 +77,15 @@ def main():
         t = chained_timer(lk, coords, *levels_a, *levels_b, n_chain=args.n_chain)
         print(f"{name:10s} {t*1e3:8.3f} ms / iteration-pair")
 
+    from stereoanywhere_tpu.ops.pallas.corr_barrel import dual_lookup_barrel
     from stereoanywhere_tpu.ops.pallas.corr_lagged import dual_lookup_lagged
     from stereoanywhere_tpu.ops.pallas.corr_tent import dual_lookup_tent
 
-    for name, dual_fn in [("pl-lag", dual_lookup_lagged), ("pl-tent", dual_lookup_tent)]:
+    for name, dual_fn in [
+        ("pl-barrel", dual_lookup_barrel),
+        ("pl-lag", dual_lookup_lagged),
+        ("pl-tent", dual_lookup_tent),
+    ]:
         def lk_pl(coords, *levels):
             oa, ob = dual_fn(levels[:4], levels[4:], coords, 4)
             return jnp.mean(oa.astype(jnp.float32)) + jnp.mean(ob.astype(jnp.float32))

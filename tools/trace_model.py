@@ -69,6 +69,7 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--lookup", default="auto", help="lookup_impl: auto|lagged|inline|barrel")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/jax_trace_model")
     args = ap.parse_args()
@@ -84,7 +85,7 @@ def main():
 
     print(f"backend={jax.default_backend()}", flush=True)
     h = w = args.size
-    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype, lookup_impl=args.lookup)
     model = StereoAnywhere(cfg)
     rng = np.random.default_rng(0)
     xs = tuple(
