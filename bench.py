@@ -22,8 +22,12 @@ import numpy as np
 
 
 def main():
+    import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
+
     import jax
     import jax.numpy as jnp
+
+    from stereoanywhere_tpu.utils.jit import tpu_jit
 
     from stereoanywhere_tpu.config import StereoAnywhereConfig
     from stereoanywhere_tpu.models import StereoAnywhere
@@ -51,7 +55,7 @@ def main():
     def one(v, im2, im3, m2, m3):
         return model.apply(v, im2, im3, m2, m3, iters=iters, test_mode=True)["disparity"]
 
-    @jax.jit
+    @tpu_jit
     def chained(v, im2, im3, m2, m3):
         def body(_, acc):
             # data dependency on previous output -> strictly serial execution.
@@ -66,7 +70,7 @@ def main():
 
         return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0))
 
-    @jax.jit
+    @tpu_jit
     def single(v, im2, im3, m2, m3):
         return jnp.mean(one(v, im2, im3, m2, m3))
 

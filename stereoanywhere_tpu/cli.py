@@ -19,6 +19,8 @@ import os
 import sys
 import time
 
+from stereoanywhere_tpu.utils.jit import tpu_jit
+
 
 def _load_stereo(checkpoint: str | None, cfg, sample_hw=(64, 96)):
     import jax
@@ -44,7 +46,7 @@ def _load_stereo(checkpoint: str | None, cfg, sample_hw=(64, 96)):
         dummy = tuple(
             jnp.zeros((1, h, w, c), jnp.float32) for c in (3, 3, 1, 1)
         )
-        init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
+        init_fn = tpu_jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
         variables = init_fn(jax.random.PRNGKey(0), *dummy)
     return model, variables
 
@@ -88,7 +90,7 @@ def cmd_eval(args):
     model, variables = _load_stereo(args.checkpoint, cfg)
     mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
 
-    @jax.jit
+    @tpu_jit
     def stereo_jit(im2, im3, m2, m3):
         return model.apply(variables, im2, im3, m2, m3, iters=ec.iters, test_mode=True)[
             "disparity"

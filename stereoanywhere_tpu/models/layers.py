@@ -51,6 +51,13 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     and the normalize pass — duplicating the conv work (measured on v5e at
     512x512/64ch: conv+IN 2.70 ms -> 1.64 ms with the barrier; the conv
     alone is 1.21 ms).
+
+    The square-sum is a self-einsum (f32 accumulation) rather than
+    `square(x.astype(f32))`: under --xla_allow_excess_precision (set by this
+    TPU runtime) an explicit f32 upcast of the activation lets XLA elide the
+    producing conv's f32->bf16 downcast and keep the whole post-conv chain —
+    transposes, refolds, gating — in f32, doubling its HBM traffic (device
+    trace at 1024x1024: three 1.07 GB f32 reshapes in the hourglass).
     """
     x = jax.lax.optimization_barrier(x)
     axes = tuple(range(1, x.ndim - 1))

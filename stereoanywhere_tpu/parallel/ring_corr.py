@@ -29,6 +29,8 @@ from __future__ import annotations
 import functools
 
 import jax
+
+from stereoanywhere_tpu.utils.jit import tpu_jit
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -102,7 +104,7 @@ def sharded_correlation_volume(
     in_spec = P(None, None, axis, None)
     out_spec = P(None, None, axis, None)
 
-    fn = jax.jit(
+    fn = tpu_jit(
         jax.shard_map(
             functools.partial(ring_all_pairs_correlation, axis_name=axis),
             mesh=mesh,

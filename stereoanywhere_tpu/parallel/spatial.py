@@ -36,6 +36,8 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+
+from stereoanywhere_tpu.utils.jit import tpu_jit
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -71,7 +73,7 @@ class RowShardedInference:
         def run(v, im2, im3, mde2, mde3):
             return apply(v, im2, im3, mde2, mde3, iters_)["disparity"]
 
-        self._jitted = jax.jit(
+        self._jitted = tpu_jit(
             run,
             in_shardings=(repl, rows, rows, rows, rows),
             out_shardings=rows,

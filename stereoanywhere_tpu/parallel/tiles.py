@@ -26,6 +26,8 @@ from typing import Any, Callable
 import numpy as np
 
 import jax
+
+from stereoanywhere_tpu.utils.jit import tpu_jit
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -129,7 +131,7 @@ class TileParallelInference:
         tile_sharding = NamedSharding(self.mesh, P("tile"))
         repl = NamedSharding(self.mesh, P())
 
-        @partial(jax.jit, static_argnums=())
+        @tpu_jit
         def run(variables, im2, im3, mde2, mde3):
             t2 = extract_row_tiles(im2, plan)
             t3 = extract_row_tiles(im3, plan)

@@ -13,6 +13,8 @@ from typing import Any, Callable
 import numpy as np
 
 import jax
+
+from stereoanywhere_tpu.utils.jit import tpu_jit
 import jax.numpy as jnp
 
 from stereoanywhere_tpu.config import MonoConfig, StereoAnywhereConfig
@@ -83,7 +85,7 @@ class StereoAnywherePipeline:
         if self.mono is not None:
             fh, fw = dav2_input_size(h, w, self.mono_size[0], self.mono_size[1])
 
-        @jax.jit
+        @tpu_jit
         def run(stereo_vars, mono_vars, im2, im3, mde2, mde3):
             if self.mono is not None:
                 both = jnp.concatenate([im2, im3], axis=0)
@@ -115,14 +117,14 @@ class StereoAnywherePipeline:
         t, b, l, r = _pad_sizes(h, w)
         fh, fw = dav2_input_size(h, w, self.mono_size[0], self.mono_size[1]) if self.mono else (h, w)
 
-        @jax.jit
+        @tpu_jit
         def mono_stage(mono_vars, im2, im3):
             both = jnp.concatenate([im2, im3], axis=0)
             x = jax.image.resize(both, (2, fh, fw, 3), "cubic")
             depth = self.mono.apply(mono_vars, imagenet_normalize(x))
             return jax.image.resize(depth, (2, h, w, 1), "bilinear")
 
-        @jax.jit
+        @tpu_jit
         def stereo_stage(stereo_vars, im2, im3, mde2, mde3):
             mde2, mde3 = joint_minmax_normalize([mde2, mde3])
             pad = ((0, 0), (t, b), (l, r), (0, 0))

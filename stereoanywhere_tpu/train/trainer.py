@@ -21,6 +21,8 @@ from functools import partial
 from typing import Any, Callable
 
 import jax
+
+from stereoanywhere_tpu.utils.jit import tpu_jit
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -149,13 +151,13 @@ def make_train_step(
     if mesh is not None:
         batch_sharding = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
-        return jax.jit(
+        return tpu_jit(
             train_step,
             in_shardings=(repl, batch_sharding, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,),
         )
-    return jax.jit(train_step, donate_argnums=(0,))
+    return tpu_jit(train_step, donate_argnums=(0,))
 
 
 class Trainer:
@@ -271,7 +273,7 @@ class Trainer:
         if iters is None:
             iters = self.cfg.valid_iters
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        fwd = jax.jit(
+        fwd = tpu_jit(
             lambda im2, im3, m2, m3: self.model.apply(
                 variables, im2, im3, m2, m3, iters=iters, test_mode=True
             )["disparity"]

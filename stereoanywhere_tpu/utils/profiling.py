@@ -48,12 +48,14 @@ def chained_timer(
     import jax
     import jax.numpy as jnp
 
+    from stereoanywhere_tpu.utils.jit import tpu_jit
+
     def perturb(a, eps):
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.inexact):
             return a + eps.astype(a.dtype)
         return a
 
-    @jax.jit
+    @tpu_jit
     def chained(c, *a):
         def body(_, acc):
             eps = acc * jnp.float32(1e-12)

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--n-chain", type=int, default=128)
     args = ap.parse_args()
 
+    import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
+
     import jax
     import jax.numpy as jnp
 

@@ -11,6 +11,7 @@ Usage: python tools/trace_model.py [--size 1024] [--iters 32] [--top 40]
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import gzip
 import json
@@ -74,6 +75,8 @@ def main():
     ap.add_argument("--out", default="/tmp/jax_trace_model")
     args = ap.parse_args()
 
+    import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
+
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +104,9 @@ def main():
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
         )
 
-    @jax.jit
+    from stereoanywhere_tpu.utils.jit import TPU_COMPILER_OPTIONS
+
+    @functools.partial(jax.jit, compiler_options=TPU_COMPILER_OPTIONS)
     def fwd(im2, im3, m2, m3):
         return jnp.mean(
             model.apply(variables, im2, im3, m2, m3, iters=args.iters, test_mode=True)[
