@@ -517,17 +517,25 @@ class StereoAnywhere(nn.Module):
 
         shift_amt = jax.random.randint(k_shift, (), 1, w_lowres + 1)
 
+        # Blend in each volume's own dtype: the f32 mask would otherwise
+        # promote a bf16 volume, making the lax.switch branches disagree
+        # (corrupted slots f32, untouched slots bf16).
         def roll(vol):
+            m = left_mask.astype(vol.dtype)
             rolled = jnp.roll(vol, shift_amt, axis=2)  # roll along W2 (ref dims=3)
-            return vol * (1 - left_mask) + rolled * left_mask
+            return vol * (1 - m) + rolled * m
 
         def noise(vol):
+            m = left_mask.astype(vol.dtype)
             nz = jax.random.uniform(k_noise, left_mask.shape, vol.dtype)
-            return vol * (1 - left_mask) + vol * nz * left_mask
+            return vol * (1 - m) + vol * nz * m
 
         def zero(vol):
-            curve = gauss_corr_volume(jnp.zeros_like(coarse_disp_low), jnp.max(vol))
-            return vol * (1 - left_mask) + vol * curve * left_mask
+            m = left_mask.astype(vol.dtype)
+            curve = gauss_corr_volume(
+                jnp.zeros_like(coarse_disp_low), jnp.max(vol)
+            ).astype(vol.dtype)
+            return vol * (1 - m) + vol * curve * m
 
         sg = jax.lax.stop_gradient
         # Only the corrupted volume is detached (reference uses `.detach()` on
