@@ -73,6 +73,11 @@ def main():
     ap.add_argument("--lookup", default="auto", help="lookup_impl: auto|lagged|inline|barrel")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default="/tmp/jax_trace_model")
+    ap.add_argument(
+        "--dump-hlo",
+        default="",
+        help="also write the optimized HLO text here (maps trace op names to shapes/sources)",
+    )
     args = ap.parse_args()
 
     import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
@@ -122,6 +127,12 @@ def main():
         float(fwd(*xs))
 
     summarize(args.out, args.top)
+
+    if args.dump_hlo:
+        txt = fwd.lower(*xs).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"optimized HLO -> {args.dump_hlo} ({len(txt)/1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
