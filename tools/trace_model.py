@@ -48,6 +48,7 @@ def summarize(trace_dir: str, top: int) -> None:
 
     totals: dict[str, float] = defaultdict(float)
     counts: dict[str, int] = defaultdict(int)
+    sources: dict[str, str] = {}
     grand = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
@@ -57,12 +58,19 @@ def summarize(trace_dir: str, top: int) -> None:
         totals[name] += dur
         counts[name] += 1
         grand += dur
+        # The runtime annotates each HLO span with its originating python
+        # line (args.source) — surface it so hot fusions are attributable
+        # without hand-parsing the perfetto JSON.
+        if name not in sources:
+            src = ev.get("args", {}).get("source", "")
+            sources[name] = src.replace("/root/repo/", "") if src else ""
 
     print(f"trace: {path}")
     print(f"device total (sum of op spans): {grand:.2f} ms")
     print(f"{'ms':>10}  {'n':>5}  op")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
-        print(f"{ms:10.3f}  {counts[name]:5d}  {name[:120]}")
+        src = sources.get(name, "")
+        print(f"{ms:10.3f}  {counts[name]:5d}  {name[:60]:60s}  {src}")
 
 
 def main():
