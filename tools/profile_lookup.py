@@ -81,11 +81,13 @@ def main():
 
     from stereoanywhere_tpu.ops.pallas.corr_barrel import dual_lookup_barrel
     from stereoanywhere_tpu.ops.pallas.corr_lagged import dual_lookup_lagged
+    from stereoanywhere_tpu.ops.pallas.corr_mxu import dual_lookup_mxu
     from stereoanywhere_tpu.ops.pallas.corr_tent import dual_lookup_tent
 
     for name, dual_fn in [
         ("pl-barrel", dual_lookup_barrel),
         ("pl-lag", dual_lookup_lagged),
+        ("pl-mxu", dual_lookup_mxu),
         ("pl-tent", dual_lookup_tent),
     ]:
         def lk_pl(coords, *levels):
