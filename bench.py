@@ -1,122 +1,198 @@
-"""Headline benchmark: stereo-forward latency at 512x512, iters=32, bf16.
+"""Headline benchmarks vs the reference paper's A100 numbers (Table 7,
+sterereere.md:1360-1377).
 
-Baseline (reference paper Table 7, sterereere.md:1366-1370, 1xA100):
-  512x512 stereo branch: 0.21 s (mono DAv2 +0.03 s; total 0.24 s).
+Emits one JSON line per metric:
+  stereo_512_latency   stereo branch, 512x512, iters=32, bf16   (A100: 0.21 s)
+  stereo_1024_latency  stereo branch, 1024x1024 direct full-res (A100: 0.61 s)
+  mono_pair_latency    DAv2 ViT-L, both views at 518x518, bf16  (A100: 0.03 s)
+  train_step_latency   batch 2 x 320x640, 12 iters, bf16        (not published)
+  total_1024_latency   stereo_1024 + mono_pair                  (A100: 0.63 s)
+  total_512_latency    stereo_512 + mono_pair — THE HEADLINE    (A100: 0.24 s)
 
-Methodology note: on this TPU runtime `block_until_ready` can acknowledge
-before device completion and D2H is slow, so we chain N forwards serially
-on-device inside ONE jitted fori_loop (each iteration's input is perturbed by
-the previous output, forcing true sequential execution) and sync on a single
-scalar fetch.  Per-forward latency = (total - RTT) / N.
+The end-to-end totals are composed exactly the way the reference composes
+Table 7 (mono stage + stereo stage measured separately and summed); the
+headline is printed LAST.  "vs_baseline" > 1 means faster than the A100.
 
-Prints ONE JSON line:
-  {"metric": "stereo_512_latency", "value": <s>, "unit": "s",
-   "vs_baseline": <baseline/ours, >1 means faster than the A100 reference>}
+Methodology: on this TPU runtime `block_until_ready` can acknowledge before
+device completion and D2H is slow, so each forward latency chains N
+executions serially on-device inside ONE jitted fori_loop (EVERY input
+perturbed by the previous output — perturbing only one lets XLA hoist the
+branches that don't depend on it out of the chain and under-report; see
+utils/profiling.chained_timer) and syncs on a single scalar fetch.  The
+train step is timed as wall-clock median of real Trainer.step calls (it
+already ends in a host sync on the loss scalar).
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
+BASELINES = {
+    "stereo_512_latency": 0.21,    # sterereere.md:1366-1370
+    "stereo_1024_latency": 0.61,   # sterereere.md:1372-1374
+    "mono_pair_latency": 0.03,     # sterereere.md:1360-1374 (VFM stage)
+    "train_step_latency": None,    # reference publishes no train-step time
+    "total_1024_latency": 0.63,
+    "total_512_latency": 0.24,
+}
 
-def main():
-    import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
 
-    import jax
-    import jax.numpy as jnp
-
-    from stereoanywhere_tpu.utils.jit import tpu_jit
-
-    from stereoanywhere_tpu.config import StereoAnywhereConfig
-    from stereoanywhere_tpu.models import StereoAnywhere
-
-    h = w = 512
-    iters = 32
-    n_chain = 8
-    cfg = StereoAnywhereConfig(compute_dtype="bfloat16")
-    model = StereoAnywhere(cfg)
-
-    rng = np.random.default_rng(0)
-    args = tuple(
-        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32)) for c in (3, 3, 1, 1)
-    )
-    # jit the init: eager init is thousands of tiny dispatches — pathological
-    # through a remote TPU runtime.
-    init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
-    variables = init_fn(jax.random.PRNGKey(0), *_tiny())
-    # Mixed precision: bf16 params/stats drive the graph in bf16 on the MXU
-    # (f32 accumulation); sensitive reductions are pinned to f32 in-model.
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
-    )
-
-    def one(v, im2, im3, m2, m3):
-        return model.apply(v, im2, im3, m2, m3, iters=iters, test_mode=True)["disparity"]
-
-    @tpu_jit
-    def chained(v, im2, im3, m2, m3):
-        def body(_, acc):
-            # data dependency on previous output -> strictly serial execution.
-            # EVERY input is perturbed: perturbing only im2 lets XLA hoist
-            # the whole mono-volume branch (cnet/hourglass/classifiers/LSQ,
-            # which depend only on m2/m3) out of the chain loop and amortize
-            # it — under-reporting the single-forward latency by ~20%
-            # (verified with a device trace).
-            eps = acc * 1e-12
-            d = one(v, im2 + eps, im3 + eps, m2 + eps, m3 + eps)
-            return jnp.mean(d)
-
-        return jax.lax.fori_loop(0, n_chain, body, jnp.float32(0))
-
-    @tpu_jit
-    def single(v, im2, im3, m2, m3):
-        return jnp.mean(one(v, im2, im3, m2, m3))
-
-    # compile + warmup + correctness sanity
-    val = float(single(variables, *args))
-    assert np.isfinite(val), "non-finite disparity"
-    float(chained(variables, *args))
-
-    # RTT of a trivial fetch
-    triv = jax.jit(lambda x: x + 1)
-    float(triv(jnp.float32(0)))  # compile
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(triv(jnp.float32(0)))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(chained(variables, *args))
-        times.append(time.perf_counter() - t0)
-    total = float(np.median(times))
-    latency = max(total - rtt, 1e-9) / n_chain
-
-    baseline = 0.21  # A100 stereo-branch 512x512 (sterereere.md:1366-1370)
+def emit(metric: str, value: float) -> None:
+    base = BASELINES[metric]
     print(
         json.dumps(
             {
-                "metric": "stereo_512_latency",
-                "value": round(latency, 4),
+                "metric": metric,
+                "value": round(value, 4),
                 "unit": "s",
-                "vs_baseline": round(baseline / latency, 2),
+                "vs_baseline": round(base / value, 2) if base else None,
             }
-        )
+        ),
+        flush=True,
     )
 
 
-def _tiny():
+def _inputs(h, w, batch=1):
+    rng = np.random.default_rng(0)
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
     return tuple(
-        jnp.asarray(rng.uniform(0, 1, (1, 64, 96, c)).astype(np.float32)) for c in (3, 3, 1, 1)
+        jnp.asarray(rng.uniform(0, 1, (batch, h, w, c)).astype(np.float32))
+        for c in (3, 3, 1, 1)
     )
+
+
+def _bf16_variables(variables):
+    import jax
+    import jax.numpy as jnp
+
+    # Mixed precision: bf16 params/stats drive the graph in bf16 on the MXU
+    # (f32 accumulation); sensitive reductions are pinned to f32 in-model.
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, variables
+    )
+
+
+def bench_stereo(size: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+    from stereoanywhere_tpu.utils.jit import tpu_jit
+    from stereoanywhere_tpu.utils.profiling import chained_timer
+
+    cfg = StereoAnywhereConfig(compute_dtype="bfloat16")
+    model = StereoAnywhere(cfg)
+    args = _inputs(size, size)
+    # jit the init: eager init is thousands of tiny dispatches — pathological
+    # through a remote TPU runtime.
+    init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
+    variables = _bf16_variables(init_fn(jax.random.PRNGKey(0), *_inputs(64, 96)))
+
+    def fwd(v, im2, im3, m2, m3):
+        return model.apply(v, im2, im3, m2, m3, iters=32, test_mode=True)["disparity"]
+
+    # correctness sanity on the real forward before timing
+    single = tpu_jit(lambda v, *a: jnp.mean(fwd(v, *a).astype(jnp.float32)))
+    assert np.isfinite(float(single(variables, *args))), "non-finite disparity"
+    return chained_timer(fwd, *args, n_chain=8, repeats=3, const_args=(variables,))
+
+
+def bench_mono() -> float:
+    """DAv2 ViT-L forward on BOTH views (batch 2) at 518x518 — the
+    reference's VFM stage (dpt.py:188-238 at the default input size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import MonoConfig
+    from stereoanywhere_tpu.models.dpt import DepthAnythingV2, imagenet_normalize
+    from stereoanywhere_tpu.utils.profiling import chained_timer
+
+    model = DepthAnythingV2(MonoConfig.for_encoder("vitl"))
+    init_fn = jax.jit(model.init)
+    variables = _bf16_variables(
+        init_fn(jax.random.PRNGKey(0), jnp.zeros((1, 126, 126, 3), jnp.float32))
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 518, 518, 3)).astype(np.float32))
+
+    def fwd(v, img):
+        return model.apply(v, imagenet_normalize(img))
+
+    return chained_timer(fwd, x, n_chain=8, repeats=3, const_args=(variables,))
+
+
+def bench_train_step() -> float:
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig, TrainConfig
+    from stereoanywhere_tpu.train.trainer import Trainer
+
+    b, h, w = 2, 320, 640
+    model_cfg = StereoAnywhereConfig(compute_dtype="bfloat16")
+    # gt_mono_prob 0 so every timed step runs the same graph
+    train_cfg = TrainConfig(batch_size=b, crop_h=h, crop_w=w, gt_mono_prob=0.0)
+    trainer = Trainer(model_cfg, train_cfg, total_steps=1000, sample_shape=(h, w))
+
+    rng = np.random.default_rng(0)
+
+    def mk(c, lo=0.0, hi=1.0):
+        return jnp.asarray(rng.uniform(lo, hi, (b, h, w, c)).astype(np.float32))
+
+    batch = {
+        "im2_aug": mk(3),
+        "im3_aug": mk(3),
+        "mono2": mk(1),
+        "mono3": mk(1),
+        "gt": mk(1, 1.0, 64.0),
+        "validgt": jnp.ones((b, h, w, 1), jnp.float32),
+        "gt_right": mk(1, 1.0, 64.0),
+        "validgt_right": jnp.ones((b, h, w, 1), jnp.float32),
+    }
+    logs = trainer.step(batch)  # compile + warmup
+    assert np.isfinite(float(logs["loss/total"])), "non-finite training loss"
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        logs = trainer.step(batch)
+        float(logs["loss/total"])  # host sync
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (tpu_jit carries them per-compile)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    got: dict[str, float] = {}
+
+    def run(metric, fn):
+        try:
+            got[metric] = fn()
+            emit(metric, got[metric])
+        except Exception:  # noqa: BLE001 — emit what succeeded, report the rest
+            traceback.print_exc(file=sys.stderr)
+
+    run("stereo_512_latency", lambda: bench_stereo(512))
+    run("stereo_1024_latency", lambda: bench_stereo(1024))
+    run("mono_pair_latency", bench_mono)
+    run("train_step_latency", bench_train_step)
+
+    if "mono_pair_latency" in got and "stereo_1024_latency" in got:
+        emit("total_1024_latency", got["stereo_1024_latency"] + got["mono_pair_latency"])
+    if "mono_pair_latency" in got and "stereo_512_latency" in got:
+        emit("total_512_latency", got["stereo_512_latency"] + got["mono_pair_latency"])
+    if not got:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -80,11 +80,15 @@ def cmd_eval(args):
 
     from stereoanywhere_tpu.config import EvalConfig, StereoAnywhereConfig
     from stereoanywhere_tpu.data import fetch_dataset
-    from stereoanywhere_tpu.eval.harness import DAV2_SIZES, Evaluator
+    from stereoanywhere_tpu.eval.harness import DAV2_SIZES, Evaluator, eval_preset
     from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
 
+    preset = eval_preset(args.dataset)
     ec = EvalConfig(
-        dataset=args.dataset, iters=args.iters, iscale=args.iscale, oscale=args.oscale
+        dataset=args.dataset,
+        iters=args.iters,
+        iscale=preset["iscale"] if args.iscale is None else args.iscale,
+        oscale=preset["oscale"] if args.oscale is None else args.oscale,
     )
     cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
     model, variables = _load_stereo(args.checkpoint, cfg)
@@ -417,8 +421,11 @@ def main(argv=None):
     common(pe)
     pe.add_argument("--dataset", required=True)
     pe.add_argument("--datapath", required=True)
-    pe.add_argument("--iscale", type=float, default=1.0)
-    pe.add_argument("--oscale", type=float, default=1.0)
+    pe.add_argument("--iscale", type=float, default=None,
+                    help="input downscale; default = the dataset's shipped "
+                    "bundle (booster 4, layeredflow 8, others 1)")
+    pe.add_argument("--oscale", type=float, default=None,
+                    help="output/eval scale; default = the dataset's shipped bundle")
     pe.add_argument("--overfit", action="store_true")
     pe.add_argument("--max-samples", type=int, default=None)
     pe.add_argument("--mono-precomputed", default=None)

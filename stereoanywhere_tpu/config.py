@@ -57,9 +57,11 @@ class StereoAnywhereConfig:
 
     # Numerics
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
-    # GRU-loop correlation lookup: "auto" uses the Pallas barrel-shift
-    # kernel (ops/pallas/corr_barrel.py) on TPU in bf16 when shapes allow,
-    # the XLA lagged-product path otherwise; "xla" / "barrel" force one.
+    # GRU-loop correlation lookup: "auto" resolves to the XLA inline tent
+    # (the measured in-model winner, see models/stereoanywhere.py dispatch);
+    # "inline" / "lagged" force an XLA formulation, "mxu" / "barrel" force a
+    # Pallas kernel (inference-only, TPU-only — falls back to inline
+    # elsewhere).
     lookup_impl: str = "auto"
     # GRU-loop unroll (largest divisor of iters <= this is used).  Measured
     # flat on v5e at 512^2 (the loop is not dispatch-bound) while multiplying

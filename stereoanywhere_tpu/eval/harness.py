@@ -10,8 +10,18 @@ Protocol parity (reference test.py:160-274):
   6. unpad, optional output rescale by `oscale` (nearest, values scaled),
   7. numpy guided_metrics per sample, accumulated mean/std over --tries.
 
-Static-shape note: padded sizes are bucketed per dataset so XLA compiles a
-handful of shapes, not one per image.
+Static-shape note: the reference pads each image independently to the next
+multiple of 32 (test.py:204-213) — free in torch, but under XLA every
+distinct padded size is a fresh compile (multi-minute through this remote
+runtime).  `ShapeBucketer` therefore groups padded sizes into a small set
+of compiled bucket shapes per dataset: each sample is centered-replicate
+padded up to its bucket (a superset of the reference's pad-32) and unpadded
+before metrics, so the metric protocol is unchanged.  A sample whose pad-32
+shape IS a bucket shape goes through bit-identically to the unbucketed
+path; larger buckets add replicate border context (the same class of
+padding the reference protocol already applies, just more of it).
+`bucketer=None` disables bucketing (per-image pad-32, one compile per
+distinct size).
 """
 from __future__ import annotations
 
@@ -27,6 +37,22 @@ import jax.numpy as jnp
 
 from stereoanywhere_tpu.eval.metrics import depth_metrics, guided_metrics
 from stereoanywhere_tpu.ops.geometry import joint_minmax_normalize
+
+# Canonical per-benchmark eval scales (reference run_test.py:53-75 +
+# README.md:323: "use 4 for Booster, 8 for LayeredFlow, 1 for others" —
+# iscale == oscale for every published table).  Datasets not listed use 1.0.
+EVAL_SCALES: dict[str, float] = {
+    "booster": 4.0,
+    "layeredflow": 8.0,
+}
+
+
+def eval_preset(dataset: str) -> dict[str, float]:
+    """The shipped iscale/oscale bundle for `dataset` (reference Table 2/3
+    protocol); cli eval defaults to these when flags are not given."""
+    s = EVAL_SCALES.get(dataset, 1.0)
+    return {"iscale": s, "oscale": s}
+
 
 # Per-dataset DAv2 input sizes (reference test.py:192-195)
 DAV2_SIZES: dict[str, tuple[int, int]] = {
@@ -49,10 +75,54 @@ def pad_to_multiple(x: np.ndarray, multiple: int = 32) -> tuple[np.ndarray, tupl
     h, w = x.shape[1], x.shape[2]
     ph = (multiple - h % multiple) % multiple
     pw = (multiple - w % multiple) % multiple
+    return pad_to_shape(x, (h + ph, w + pw))
+
+
+def pad_to_shape(x: np.ndarray, hw: tuple[int, int]) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+    """Centered replicate pad up to an exact (H, W) — the pad-32 rule
+    generalized to bucket shapes.  Returns padded array and pads."""
+    h, w = x.shape[1], x.shape[2]
+    ph, pw = hw[0] - h, hw[1] - w
+    assert ph >= 0 and pw >= 0, (x.shape, hw)
     top, bottom = ph // 2, ph - ph // 2
     left, right = pw // 2, pw - pw // 2
     out = np.pad(x, ((0, 0), (top, bottom), (left, right), (0, 0)), mode="edge")
     return out, (top, bottom, left, right)
+
+
+class ShapeBucketer:
+    """Maps raw (h, w) eval sizes onto a bounded set of compiled shapes.
+
+    Buckets are discovered lazily: the first `max_buckets` distinct pad-32
+    shapes become buckets verbatim; after the cap, the bucket whose union
+    with the new shape wastes the least area grows to that union (one
+    recompile, count stays capped).  A sample reuses the smallest existing
+    bucket that fits it.
+    """
+
+    def __init__(self, multiple: int = 32, max_buckets: int = 3):
+        self.multiple = multiple
+        self.max_buckets = max_buckets
+        self.buckets: list[tuple[int, int]] = []
+
+    def _ceil(self, v: int) -> int:
+        m = self.multiple
+        return ((v + m - 1) // m) * m
+
+    def bucket_for(self, h: int, w: int) -> tuple[int, int]:
+        need = (self._ceil(h), self._ceil(w))
+        fits = [b for b in self.buckets if b[0] >= need[0] and b[1] >= need[1]]
+        if fits:
+            return min(fits, key=lambda b: b[0] * b[1])
+        if len(self.buckets) < self.max_buckets:
+            self.buckets.append(need)
+            return need
+        unions = [
+            (max(b[0], need[0]), max(b[1], need[1])) for b in self.buckets
+        ]
+        i = min(range(len(unions)), key=lambda i: unions[i][0] * unions[i][1])
+        self.buckets[i] = unions[i]
+        return unions[i]
 
 
 def unpad(x: np.ndarray, pads: tuple[int, int, int, int]) -> np.ndarray:
@@ -110,6 +180,7 @@ class Evaluator:
         oscale: float = 1.0,
         pad_multiple: int = 32,
         save_images_dir: str | None = None,
+        bucketer: "ShapeBucketer | None | str" = "auto",
     ):
         self.stereo_fn = stereo_fn
         self.mono_fn = mono_fn
@@ -118,6 +189,9 @@ class Evaluator:
         self.oscale = oscale
         self.pad_multiple = pad_multiple
         self.save_images_dir = save_images_dir
+        if bucketer == "auto":
+            bucketer = ShapeBucketer(multiple=pad_multiple)
+        self.bucketer = bucketer
         self._sample_idx = 0
 
     def run_sample(self, sample: dict) -> dict:
@@ -145,10 +219,17 @@ class Evaluator:
         mono2, mono3 = joint_minmax_normalize([jnp.asarray(mono2), jnp.asarray(mono3)])
         mono2, mono3 = np.asarray(mono2), np.asarray(mono3)
 
-        im2p, pads = pad_to_multiple(im2, self.pad_multiple)
-        im3p, _ = pad_to_multiple(im3, self.pad_multiple)
-        mono2p, _ = pad_to_multiple(mono2, self.pad_multiple)
-        mono3p, _ = pad_to_multiple(mono3, self.pad_multiple)
+        if self.bucketer is not None:
+            bh, bw = self.bucketer.bucket_for(*im2.shape[1:3])
+            im2p, pads = pad_to_shape(im2, (bh, bw))
+            im3p, _ = pad_to_shape(im3, (bh, bw))
+            mono2p, _ = pad_to_shape(mono2, (bh, bw))
+            mono3p, _ = pad_to_shape(mono3, (bh, bw))
+        else:
+            im2p, pads = pad_to_multiple(im2, self.pad_multiple)
+            im3p, _ = pad_to_multiple(im3, self.pad_multiple)
+            mono2p, _ = pad_to_multiple(mono2, self.pad_multiple)
+            mono3p, _ = pad_to_multiple(mono3, self.pad_multiple)
 
         disp = np.asarray(self.stereo_fn(im2p, im3p, mono2p, mono3p))
         disp = unpad(disp, pads)

@@ -399,7 +399,15 @@ class StereoAnywhere(nn.Module):
             # the inline tent rebuild fuses into each tap's multiply-reduce,
             # so the shared g array is never materialized + re-read
             # (device traces 2026-08-18, tools/trace_model.py).
-            step_kw["lookup_impl"] = "inline" if cfg.lookup_impl == "auto" else cfg.lookup_impl
+            impl = "inline" if cfg.lookup_impl == "auto" else cfg.lookup_impl
+            if impl == "mxu" and not (
+                test_mode and jax.default_backend() == "tpu" and (b * h4) % 4 == 0
+            ):
+                # the Pallas MXU-reduction kernel has no VJP and requires the
+                # TPU backend; outside those conditions fall back to the XLA
+                # inline tent (same math).
+                impl = "inline"
+            step_kw["lookup_impl"] = impl
             consts = (stereo_pyr.levels, mono_pyr.levels, inp_list, coords0)
 
         def make_scan(length, **kw):

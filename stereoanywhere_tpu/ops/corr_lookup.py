@@ -178,9 +178,16 @@ def lookup_corr_pyramid_pair(
 ) -> tuple[jax.Array, jax.Array]:
     """lookup_corr_pyramid for two pyramids sharing the same coords; on TPU
     the per-level tent arrays (lagged) or tent fusions (inline) are shared
-    by both volumes.  impl: "lagged" | "inline" (see the pair functions)."""
+    by both volumes.  impl: "lagged" | "inline" (XLA pair functions above)
+    | "mxu" (Pallas single-pass kernel, ops/pallas/corr_mxu.py)."""
+    if impl not in ("lagged", "inline", "mxu"):
+        raise ValueError(f"unknown lookup impl {impl!r}; use lagged|inline|mxu (or barrel at the model level)")
     if jax.default_backend() == "cpu":
         return lookup_corr_pyramid(pyr_a, coords), lookup_corr_pyramid(pyr_b, coords)
+    if impl == "mxu":
+        from stereoanywhere_tpu.ops.pallas.corr_mxu import dual_lookup_mxu
+
+        return dual_lookup_mxu(pyr_a.levels, pyr_b.levels, coords, pyr_a.radius)
     pair_fn = _lookup_level_inline_tent_pair if impl == "inline" else _lookup_level_lagged_pair
     outs_a, outs_b = [], []
     for i, (la, lb) in enumerate(zip(pyr_a.levels, pyr_b.levels)):

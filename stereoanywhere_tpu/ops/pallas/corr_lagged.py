@@ -105,7 +105,7 @@ def dual_lookup_lagged(levels_a, levels_b, coords: jax.Array, radius: int, inter
     assert 2 * radius + 1 <= _SLOT, radius
     b, h, w2 = coords.shape
     bh = b * h
-    assert bh % _ROWS == 0, f"B*H/4 = {bh} must be a multiple of {_ROWS}"
+    assert bh % _ROWS == 0, f"B*H = {bh} must be a multiple of {_ROWS}"
     dtype = levels_a[0].dtype
     k = 2 * radius + 1
 

@@ -11,7 +11,7 @@ MXU as ONE dot per level:
     stack all 2*(2r+1) tap products on the sublane axis
         P = [xa*g_t..., xb*g_t...]          (2K*ROWS*W2, Wl)
     reduce with a constant ones matrix
-        S = P @ ones(Wl, 128)               (2K*ROWS*W2, 128), lane 0 = sum
+        S = P @ ones(Wl, 8)                 (2K*ROWS*W2, 8), lane 0 = sum
 
 The ones-matmul does 128x the arithmetically-useful work, but the MXU has
 ~2 orders of magnitude more FLOPs than the VPU, and its cycles were idle
@@ -30,8 +30,10 @@ STATUS: measured on v5e at 512^2/bf16 (tools/profile_lookup.py): 0.237 ms
 MXU reduction removed the previous kernel's reduction wall (0.595 -> 0.237)
 but grid/launch + VMEM-fill overheads still dominate at this size, and the
 standalone XLA numbers exclude the loop-fusion contexts where the in-model
-cost arises.  Kept opt-in (`lookup_impl="mxu"`); the in-model default
-remains the XLA inline tent.
+cost arises.  Opt-in via `lookup_impl="mxu"` (dispatched in
+ops/corr_lookup.py lookup_corr_pyramid_pair; inference-only — no VJP — the
+model falls back to the XLA inline tent outside test_mode/TPU); the
+in-model default remains the XLA inline tent.
 """
 from __future__ import annotations
 
@@ -104,7 +106,7 @@ def dual_lookup_mxu(levels_a, levels_b, coords: jax.Array, radius: int, interpre
     b, h, w2 = coords.shape
     bh = b * h
     rows = _ROWS if bh % _ROWS == 0 else 4
-    assert bh % rows == 0, f"B*H/4 = {bh} must be a multiple of {rows}"
+    assert bh % rows == 0, f"B*H = {bh} must be a multiple of {rows}"
     dtype = levels_a[0].dtype
     k = 2 * radius + 1
 

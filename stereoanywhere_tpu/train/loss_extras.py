@@ -33,6 +33,18 @@ def ssim(x: jax.Array, y: jax.Array, c1: float = 0.01 ** 2, c2: float = 0.03 ** 
     return jnp.clip((1 - n / d) / 2, 0, 1)
 
 
+def csim(x: jax.Array, y: jax.Array, k1: float = 0.25, k2: float = 1.0) -> jax.Array:
+    """Window-3 CSIM distance (reference losses.py:35-62): the contrast/
+    structure dissimilarity K1*(mu_x-mu_y)^2 + K2*(sig_x+sig_y-2*sig_xy),
+    mapped through the same (1-v)/2 clamp as SSIM."""
+    mu_x, mu_y = _avg_pool3(x), _avg_pool3(y)
+    sig_x = _avg_pool3(x * x) - mu_x ** 2
+    sig_y = _avg_pool3(y * y) - mu_y ** 2
+    sig_xy = _avg_pool3(x * y) - mu_x * mu_y
+    v = k1 * (mu_x ** 2 + mu_y ** 2 - 2 * mu_x * mu_y) + k2 * (sig_x + sig_y - 2 * sig_xy)
+    return jnp.clip((1 - v) / 2, 0, 1)
+
+
 def photometric_loss(img, img_warped, alpha: float = 0.85):
     """alpha*SSIM + (1-alpha)*L1 (reference photometric losses region)."""
     return alpha * ssim(img, img_warped).mean() + (1 - alpha) * jnp.abs(img - img_warped).mean()

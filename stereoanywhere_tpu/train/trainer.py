@@ -200,13 +200,26 @@ class Trainer:
             self._install_signal_handlers()
 
     # -- stepping --------------------------------------------------------
+    @staticmethod
+    def _has_valid_right(batch: dict) -> bool:
+        """Right-gt validity check for the gt-as-mono branch.  Loader batches
+        are numpy, so this stays host-side (the reference's check is on CPU
+        tensors, train.py:258); a jnp.sum here forced a device sync per
+        sampled step."""
+        import numpy as np
+
+        v = batch["validgt_right"]
+        if isinstance(v, np.ndarray):
+            return bool(np.any(v > 0))
+        return bool(jnp.sum(v) > 0)  # device-array fallback (tests)
+
     def step(self, batch: dict) -> dict:
         batch = dict(batch)
         used_gt_mono = 0.0
         if (
             self.cfg.gt_mono_prob > 0
             and self._host_rng.random() < self.cfg.gt_mono_prob
-            and float(jnp.sum(batch["validgt_right"])) > 0
+            and self._has_valid_right(batch)
         ):
             # gt-as-mono robustness branch (reference train.py:253-260):
             # feed the gt disparity pair as the "mono depth" inputs.

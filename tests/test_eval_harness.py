@@ -95,3 +95,74 @@ def test_evaluator_iscale_path(tmp_path, rng):
     # model saw the half-res input (48 wide, padded to the next 32-multiple)
     assert seen["shape"][1:3] == (32, 64)
     assert np.isfinite(res.mean()["avgerr"])
+
+
+def test_eval_presets():
+    """Shipped per-benchmark scale bundles (reference run_test.py:53-75,
+    README.md:323: booster 4, layeredflow 8, others 1)."""
+    from stereoanywhere_tpu.eval.harness import eval_preset
+
+    assert eval_preset("booster") == {"iscale": 4.0, "oscale": 4.0}
+    assert eval_preset("layeredflow") == {"iscale": 8.0, "oscale": 8.0}
+    for ds in ("middlebury", "middlebury2021", "eth3d", "kitti2012", "kitti2015", "monotrap"):
+        assert eval_preset(ds) == {"iscale": 1.0, "oscale": 1.0}
+
+
+def test_shape_bucketer_caps_compiles():
+    """Lazy bucket discovery: first max_buckets distinct pad-32 shapes become
+    buckets, later misfits grow the least-wasteful bucket by union — the
+    compiled-shape count stays capped."""
+    from stereoanywhere_tpu.eval.harness import ShapeBucketer
+
+    b = ShapeBucketer(multiple=32, max_buckets=3)
+    assert b.bucket_for(40, 64) == (64, 64)
+    assert b.bucket_for(38, 62) == (64, 64)       # reuses bucket 1
+    assert b.bucket_for(72, 96) == (96, 96)       # bucket 2
+    assert b.bucket_for(130, 200) == (160, 224)   # bucket 3
+    # cap reached: a misfit grows a bucket instead of adding a fourth
+    got = b.bucket_for(100, 100)
+    assert len(b.buckets) == 3
+    assert got[0] >= 100 and got[1] >= 100 and got in b.buckets
+
+
+def test_evaluator_bucketing_compile_count_and_exact_fit(rng):
+    """Six distinct image sizes route through <=3 compiled shapes; a sample
+    whose pad-32 shape IS its bucket shape produces metrics bit-identical to
+    the unbucketed (per-image pad-32) path."""
+    from stereoanywhere_tpu.eval.harness import Evaluator, ShapeBucketer
+
+    def make_sample(h, w):
+        return {
+            "im2": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+            "im3": rng.uniform(0, 1, (h, w, 3)).astype(np.float32),
+            "gt": rng.uniform(1, 12, (h, w, 1)).astype(np.float32),
+            "validgt": np.ones((h, w, 1), np.float32),
+        }
+
+    shapes_seen = set()
+
+    def stereo_fn(im2, im3, m2, m3):
+        shapes_seen.add(im2.shape)
+        # deterministic function of the valid content only would need
+        # unpadding knowledge; a constant map is enough for metric identity
+        return jnp.ones(im2.shape[:3] + (1,), jnp.float32) * 4.0
+
+    mono_fn = lambda x, d: x.mean(-1, keepdims=True)  # noqa: E731
+
+    ev = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name="middlebury",
+                   bucketer=ShapeBucketer(multiple=32, max_buckets=3))
+    sizes = [(40, 64), (38, 62), (40, 60), (72, 96), (70, 94), (66, 90)]
+    results = [ev.run_sample(make_sample(h, w)) for h, w in sizes]
+    assert len(shapes_seen) <= 3, shapes_seen
+    assert all(np.isfinite(r["avgerr"]) for r in results)
+
+    # exact-fit sample: bucketed == unbucketed bit-for-bit
+    sample = make_sample(40, 64)  # pad-32 shape (64, 64) == its bucket
+    ev_b = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name="middlebury")
+    ev_n = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name="middlebury", bucketer=None)
+    m_b = ev_b.run_sample(dict(sample))
+    m_n = ev_n.run_sample(dict(sample))
+    assert set(m_b) == set(m_n)
+    for k in m_b:
+        a, c = m_b[k], m_n[k]
+        assert (np.isnan(a) and np.isnan(c)) or a == c, (k, a, c)

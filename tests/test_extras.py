@@ -21,6 +21,34 @@ def test_ssim_matches_definition(rng):
     assert d_noisy > d_same
 
 
+def test_csim_matches_oracle(rng):
+    """CSIM twin (reference losses.py:35-62): numpy oracle of
+    K1*(mu_x-mu_y)^2 + K2*(sig_x+sig_y-2*sig_xy) -> clamp((1-v)/2, 0, 1)
+    with the same zero-pad window-3 means as our ssim twin."""
+    from stereoanywhere_tpu.train.loss_extras import csim
+
+    x = rng.uniform(0, 1, (1, 8, 16, 1)).astype(np.float32)
+    y = np.clip(x + rng.normal(0, 0.1, x.shape).astype(np.float32), 0, 1)
+
+    def pool3(a):
+        p = np.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return sum(
+            p[:, i : i + a.shape[1], j : j + a.shape[2]] for i in range(3) for j in range(3)
+        ) / 9.0
+
+    mu_x, mu_y = pool3(x), pool3(y)
+    sig_x = pool3(x * x) - mu_x**2
+    sig_y = pool3(y * y) - mu_y**2
+    sig_xy = pool3(x * y) - mu_x * mu_y
+    v = 0.25 * (mu_x**2 + mu_y**2 - 2 * mu_x * mu_y) + 1.0 * (sig_x + sig_y - 2 * sig_xy)
+    want = np.clip((1 - v) / 2, 0, 1)
+    got = np.asarray(csim(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # identical inputs: zero contrast/structure distance -> exactly 0.5
+    same = np.asarray(csim(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(same, 0.5, atol=1e-6)
+
+
 def test_silog_and_affine_losses(rng):
     from stereoanywhere_tpu.train.loss_extras import affine_invariant_mae, silog_loss
 

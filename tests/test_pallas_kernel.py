@@ -113,3 +113,36 @@ def test_barrel_single_pass_matches_xla(rng):
         got_s, got_m = dual_lookup_barrel(spyr.levels, mpyr.levels, coords, 4, interpret=True)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=5e-5)
         np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-4, atol=5e-5)
+
+
+def test_mxu_single_pass_matches_xla(rng):
+    """corr_mxu.py single-pass MXU-reduction kernel: tap reductions as one
+    ones-matmul dot per level; matches the XLA pair lookup."""
+    from stereoanywhere_tpu.ops.corr_lookup import CorrPyramid, lookup_corr_pyramid_pair
+    from stereoanywhere_tpu.ops.pallas.corr_mxu import dual_lookup_mxu
+
+    for (b, h, w2, w3) in [(1, 8, 16, 32), (1, 8, 128, 128)]:
+        svol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        mvol = jnp.asarray(rng.standard_normal((b, h, w2, w3)).astype(np.float32))
+        coords = jnp.asarray(rng.uniform(-2, w3 + 2, (b, h, w2)).astype(np.float32))
+        spyr = build_corr_pyramid(svol, 4, 4)
+        mpyr = build_corr_pyramid(mvol, 4, 4)
+        ref_s, ref_m = lookup_corr_pyramid_pair(
+            CorrPyramid(spyr.levels, 4), CorrPyramid(mpyr.levels, 4), coords
+        )
+        got_s, got_m = dual_lookup_mxu(spyr.levels, mpyr.levels, coords, 4, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-4, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m), rtol=1e-4, atol=5e-5)
+
+
+def test_lookup_impl_validation():
+    """Unknown lookup impl strings raise instead of silently running the
+    lagged path (they previously fell through to it)."""
+    import pytest
+
+    from stereoanywhere_tpu.ops.corr_lookup import CorrPyramid, lookup_corr_pyramid_pair
+
+    vol = jnp.zeros((1, 4, 8, 16))
+    pyr = CorrPyramid((vol,), 4)
+    with pytest.raises(ValueError, match="unknown lookup impl"):
+        lookup_corr_pyramid_pair(pyr, pyr, jnp.zeros((1, 4, 8)), impl="nope")
