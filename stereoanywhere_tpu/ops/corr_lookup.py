@@ -147,6 +147,82 @@ def _lookup_level_inline_tent_pair(
     )
 
 
+def _lookup_level_window_pair(
+    level_a: jax.Array,
+    level_b: jax.Array,
+    coords: jax.Array,
+    radius: int,
+    nb_cap: int = 4,
+    inner: str = "inline",
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed-slab inline-tent lookup: the tent weights of all 2r+1 taps
+    are nonzero only inside (pos-r-1, pos+r+1), yet the dense formulations
+    evaluate them over the FULL Wl axis (~0.8% useful work at 1024^2 — the
+    measured VPU wall, ARCHITECTURE.md "Why the inline-tent lookup...").
+
+    Here the Wl axis is cut into `nb` static blocks; each row first extracts
+    a slab of length L = block + 2r + 2 via a one-hot block select (nb
+    masked static slices — no data-dependent gather), and the inline tent
+    then runs over L lanes instead of Wl:
+
+        c    = clamp(floor((pos - (r+1)) / block), 0, nb-1)
+        slab = level_padded[..., c*block : c*block + L]    (one-hot select)
+        out[k] = sum_{j<L} slab[j] * max(0, 1 - |j - (pos - c*block) - t_k|)
+
+    Every j with a nonzero tent weight lands inside the slab for any pos
+    (incl. the clamped edges, where out-of-range taps fade to zero exactly
+    as with zeros padding), so this is bit-identical f32 math to the
+    gather/tent/lagged formulations — the removed products are exact zeros.
+    Fully differentiable (no Pallas), shared by both volumes per iteration.
+    """
+    wl = level_a.shape[-1]
+    nb = min(nb_cap, wl // 32)
+    if nb < 2 or wl % nb or (wl // nb) + 2 * radius + 2 >= wl:
+        # tiny or indivisible levels: the dense inline tent is already cheap
+        return _lookup_level_inline_tent_pair(level_a, level_b, coords, radius)
+    block = wl // nb
+    slab_len = block + 2 * radius + 2
+
+    pos = coords.astype(jnp.float32)[..., None]  # (B,H,W2,1)
+    c = jnp.clip(
+        jnp.floor((pos - (radius + 1)) * (1.0 / block)), 0, nb - 1
+    ).astype(jnp.int32)  # (B,H,W2,1) block index
+
+    pad = [(0, 0)] * (level_a.ndim - 1) + [(0, slab_len - block)]
+    ap = jnp.pad(level_a, pad)
+    bp = jnp.pad(level_b, pad)
+    slab_a = jnp.zeros(level_a.shape[:-1] + (slab_len,), level_a.dtype)
+    slab_b = jnp.zeros_like(slab_a)
+    for bi in range(nb):
+        m = c == bi
+        slab_a = jnp.where(m, jax.lax.slice_in_dim(ap, bi * block, bi * block + slab_len, axis=-1), slab_a)
+        slab_b = jnp.where(m, jax.lax.slice_in_dim(bp, bi * block, bi * block + slab_len, axis=-1), slab_b)
+
+    local = pos - c.astype(jnp.float32) * block  # (B,H,W2,1)
+    outs_a, outs_b = [], []
+    if inner == "lagged":
+        # one shared tent array over the slab's extended support, 2r+1
+        # statically-shifted slices (the lagged-product algebra on L lanes
+        # instead of Wl — the g array is now slab-sized, not volume-sized)
+        m = jnp.arange(-(radius + 1), slab_len + radius + 1, dtype=jnp.float32)
+        g = jnp.maximum(1.0 - jnp.abs(m - local), 0.0).astype(level_a.dtype)
+        for t in range(-radius, radius + 1):
+            start = radius + 1 - t
+            gs = jax.lax.slice_in_dim(g, start, start + slab_len, axis=-1)
+            outs_a.append(jnp.sum(slab_a * gs, axis=-1, dtype=jnp.float32))
+            outs_b.append(jnp.sum(slab_b * gs, axis=-1, dtype=jnp.float32))
+    else:
+        j = jnp.arange(slab_len, dtype=jnp.float32)
+        for t in range(-radius, radius + 1):
+            w = jnp.maximum(1.0 - jnp.abs(j - (local + t)), 0.0).astype(level_a.dtype)
+            outs_a.append(jnp.sum(slab_a * w, axis=-1, dtype=jnp.float32))
+            outs_b.append(jnp.sum(slab_b * w, axis=-1, dtype=jnp.float32))
+    return (
+        jnp.stack(outs_a, axis=-1).astype(level_a.dtype),
+        jnp.stack(outs_b, axis=-1).astype(level_b.dtype),
+    )
+
+
 def _lookup_level_lagged_pair(
     level_a: jax.Array, level_b: jax.Array, coords: jax.Array, radius: int
 ) -> tuple[jax.Array, jax.Array]:
@@ -178,17 +254,23 @@ def lookup_corr_pyramid_pair(
 ) -> tuple[jax.Array, jax.Array]:
     """lookup_corr_pyramid for two pyramids sharing the same coords; on TPU
     the per-level tent arrays (lagged) or tent fusions (inline) are shared
-    by both volumes.  impl: "lagged" | "inline" (XLA pair functions above)
-    | "mxu" (Pallas single-pass kernel, ops/pallas/corr_mxu.py)."""
-    if impl not in ("lagged", "inline", "mxu"):
-        raise ValueError(f"unknown lookup impl {impl!r}; use lagged|inline|mxu (or barrel at the model level)")
+    by both volumes.  impl: "lagged" | "inline" | "window" (XLA pair
+    functions above) | "mxu" (Pallas single-pass kernel, ops/pallas/corr_mxu.py)."""
+    if impl not in ("lagged", "inline", "window", "mxu"):
+        raise ValueError(
+            f"unknown lookup impl {impl!r}; use lagged|inline|window|mxu (or barrel at the model level)"
+        )
     if jax.default_backend() == "cpu":
         return lookup_corr_pyramid(pyr_a, coords), lookup_corr_pyramid(pyr_b, coords)
     if impl == "mxu":
         from stereoanywhere_tpu.ops.pallas.corr_mxu import dual_lookup_mxu
 
         return dual_lookup_mxu(pyr_a.levels, pyr_b.levels, coords, pyr_a.radius)
-    pair_fn = _lookup_level_inline_tent_pair if impl == "inline" else _lookup_level_lagged_pair
+    pair_fn = {
+        "inline": _lookup_level_inline_tent_pair,
+        "window": _lookup_level_window_pair,
+        "lagged": _lookup_level_lagged_pair,
+    }[impl]
     outs_a, outs_b = [], []
     for i, (la, lb) in enumerate(zip(pyr_a.levels, pyr_b.levels)):
         oa, ob = pair_fn(la, lb, coords / (2 ** i), pyr_a.radius)

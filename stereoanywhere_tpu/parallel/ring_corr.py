@@ -23,6 +23,19 @@ pipelines the ppermute with the next block matmul).
 `ring_all_pairs_correlation` is the shard_map-callable collective op;
 `sharded_correlation_volume` is the host-level convenience wrapper that
 builds the mesh ring over an existing axis.
+
+STATUS — demoted to a standalone primitive (kept exact + tested, not on the
+model path).  For THIS model, H(row)-sharding strictly dominates
+W-sharding for every benchmark shape, so no end-to-end W-sharded inference
+consumes the ring: every data-dependent operation in the network (GRU
+correlation lookups at arbitrary coords, LRC disparity warps, soft-argmax,
+mirror truncation) addresses along the W axes, which stay DEVICE-LOCAL
+under H-sharding (volume memory is O(1/N) either way, and H/4 row counts
+exceed any slice size on all nine benchmarks) — while under W2-sharding
+the warps and lookups need data-dependent cross-device addressing every
+GRU iteration.  Full byte-level analysis: ARCHITECTURE.md "Why row
+sharding (and not the W axes)".  The ring remains the right primitive for
+a hypothetical W-dominant workload (panoramic strips, H/4 < N).
 """
 from __future__ import annotations
 

@@ -141,3 +141,31 @@ def test_upflow(rng):
         * 4
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_window_lookup_equals_gather(rng):
+    """Windowed-slab pair lookup == gather reference for every size class:
+    blocked wide levels (nb=4), small levels (inline fallback), coords past
+    both edges (slab clamping must reproduce the zeros-padding fade)."""
+    from stereoanywhere_tpu.ops.corr_lookup import (
+        _lookup_level_gather,
+        _lookup_level_window_pair,
+    )
+
+    for wl in (256, 128, 96, 64, 32, 16):
+        level_a = jnp.asarray(rng.standard_normal((1, 4, 8, wl)).astype(np.float32))
+        level_b = jnp.asarray(rng.standard_normal((1, 4, 8, wl)).astype(np.float32))
+        coords = jnp.asarray(
+            np.concatenate(
+                [
+                    rng.uniform(-6, wl + 6, (1, 4, 6)),  # incl. out-of-range
+                    np.array([[[0.0, wl - 1.0]] * 4]),   # exact edges
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        ref_a = np.asarray(_lookup_level_gather(level_a, coords, 4))
+        ref_b = np.asarray(_lookup_level_gather(level_b, coords, 4))
+        got_a, got_b = _lookup_level_window_pair(level_a, level_b, coords, 4)
+        np.testing.assert_allclose(np.asarray(got_a), ref_a, rtol=1e-5, atol=1e-5, err_msg=f"wl={wl}")
+        np.testing.assert_allclose(np.asarray(got_b), ref_b, rtol=1e-5, atol=1e-5, err_msg=f"wl={wl}")

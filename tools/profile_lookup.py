@@ -44,6 +44,7 @@ def main():
     from stereoanywhere_tpu.ops.corr_lookup import (
         _lookup_level_inline_tent_pair,
         _lookup_level_lagged_pair,
+        _lookup_level_window_pair,
     )
     from stereoanywhere_tpu.utils.profiling import chained_timer
 
@@ -64,9 +65,15 @@ def main():
         rng.uniform(0, w4, (b, h4, w4)).astype(np.float32)
     )
 
+    import functools
+
     for name, pair_fn in [
         ("lagged", _lookup_level_lagged_pair),
         ("inline", _lookup_level_inline_tent_pair),
+        ("window", _lookup_level_window_pair),
+        ("win-nb8", functools.partial(_lookup_level_window_pair, nb_cap=8)),
+        ("win-lag4", functools.partial(_lookup_level_window_pair, inner="lagged")),
+        ("win-lag8", functools.partial(_lookup_level_window_pair, nb_cap=8, inner="lagged")),
     ]:
         def lk(coords, *levels):
             la, lb = levels[:4], levels[4:]
