@@ -148,6 +148,7 @@ def cmd_eval(args):
     print(f"({len(res.per_sample)} samples in {dt:.1f}s)")
     if args.csv:
         res.to_csv(args.csv, {"dataset": ec.dataset, "iters": ec.iters, "tries": args.tries})
+    return means
 
 
 def cmd_train(args):
@@ -506,7 +507,7 @@ def main(argv=None):
     ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    return args.fn(args)
 
 
 if __name__ == "__main__":

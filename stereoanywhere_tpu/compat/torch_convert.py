@@ -321,6 +321,12 @@ def _dav2_rename(name: str) -> tuple[list[str], str] | None:
                 return base + [f"scratch_{sub[0]}", "kernel"], "conv2d"
             if sub[0].startswith("refinenet"):
                 rb = base + [f"scratch_{sub[0]}"]
+                if sub[0] == "refinenet4" and sub[1] == "resConfUnit1":
+                    # dead weights: refinenet4 is the deepest fusion block and
+                    # is called with a single input (reference dpt.py:140), so
+                    # its resConfUnit1 never runs — the flax module doesn't
+                    # instantiate it.
+                    return None
                 if sub[1] == "out_conv":
                     return rb + ["out_conv", wb[sub[2]]], (
                         "conv2d" if sub[2] == "weight" else "bias"
@@ -349,7 +355,11 @@ def convert_dav2_checkpoint(state: Mapping[str, np.ndarray]) -> dict[str, Any]:
     for name, w in state.items():
         mapped = _dav2_rename(name)
         if mapped is None:
-            if "mask_token" in name or "resize_layers.2" in name:
+            if (
+                "mask_token" in name
+                or "resize_layers.2" in name
+                or "refinenet4.resConfUnit1" in name
+            ):
                 continue
             unmapped.append(name)
             continue

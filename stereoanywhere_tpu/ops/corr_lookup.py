@@ -152,7 +152,7 @@ def _lookup_level_window_pair(
     level_b: jax.Array,
     coords: jax.Array,
     radius: int,
-    nb_cap: int = 4,
+    nb_cap: int = 8,
     inner: str = "inline",
 ) -> tuple[jax.Array, jax.Array]:
     """Windowed-slab inline-tent lookup: the tent weights of all 2r+1 taps

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--n-chain", type=int, default=128)
+    ap.add_argument("--xla-only", action="store_true")
     args = ap.parse_args()
 
     import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (no-op if jax preloaded; tpu_jit carries them per-compile)
@@ -71,7 +72,7 @@ def main():
         ("lagged", _lookup_level_lagged_pair),
         ("inline", _lookup_level_inline_tent_pair),
         ("window", _lookup_level_window_pair),
-        ("win-nb8", functools.partial(_lookup_level_window_pair, nb_cap=8)),
+        ("win-nb4", functools.partial(_lookup_level_window_pair, nb_cap=4)),
         ("win-lag4", functools.partial(_lookup_level_window_pair, inner="lagged")),
         ("win-lag8", functools.partial(_lookup_level_window_pair, nb_cap=8, inner="lagged")),
     ]:
@@ -85,6 +86,9 @@ def main():
 
         t = chained_timer(lk, coords, *levels_a, *levels_b, n_chain=args.n_chain)
         print(f"{name:10s} {t*1e3:8.3f} ms / iteration-pair")
+
+    if args.xla_only:
+        return
 
     from stereoanywhere_tpu.ops.pallas.corr_barrel import dual_lookup_barrel
     from stereoanywhere_tpu.ops.pallas.corr_lagged import dual_lookup_lagged

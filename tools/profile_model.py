@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--iters", type=int, nargs="+", default=[4, 36])
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--lookup", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -33,7 +34,7 @@ def main():
 
     print(f"backend={jax.default_backend()}")
     h = w = args.size
-    cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype, lookup_impl=args.lookup)
     model = StereoAnywhere(cfg)
     rng = np.random.default_rng(0)
     xs = tuple(
