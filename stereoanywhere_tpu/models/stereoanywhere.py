@@ -394,12 +394,16 @@ class StereoAnywhere(nn.Module):
             packed = pack_pyramid_pair(stereo_pyr.levels, mono_pyr.levels, cfg.corr_radius)
             consts = (packed, (), inp_list, coords0)
         else:
-            # "auto" -> inline: parity with lagged at 512^2 (66.4 vs 66.9 ms
-            # full forward) and 9 ms faster at 1024^2 (352.6 vs 361.8 ms) —
-            # the inline tent rebuild fuses into each tap's multiply-reduce,
-            # so the shared g array is never materialized + re-read
-            # (device traces 2026-08-18, tools/trace_model.py).
-            impl = "inline" if cfg.lookup_impl == "auto" else cfg.lookup_impl
+            # "auto" -> window: the windowed-slab tent (ops/corr_lookup.py
+            # _lookup_level_window_pair) evaluates tent weights only in a
+            # (block+2r+2)-lane slab around each row's coordinate instead of
+            # the full Wl axis, removing the measured VPU wall of the dense
+            # formulations.  In-model fits (tools/profile_model.py,
+            # 2026-08-19): 512^2 65 -> 58.0 ms (loop 1.25 -> 1.02 ms/iter),
+            # 1024^2 343.5 -> 314.8 ms (5.5 -> 4.64 ms/iter) vs the prior
+            # inline default.  Fully differentiable; tiny/indivisible levels
+            # fall back to the inline tent inside the pair function.
+            impl = "window" if cfg.lookup_impl == "auto" else cfg.lookup_impl
             if impl == "mxu" and not (
                 test_mode and jax.default_backend() == "tpu" and (b * h4) % 4 == 0
             ):
