@@ -43,6 +43,12 @@ class StereoAnywhereConfig:
     # the 16x lane padding of C=8 NDHWC tensors (ops/folded.py).  Off only
     # for debugging layout-sensitive numerics.
     hourglass_folded: bool = True
+    # Carried block layout (B,nb,W3,H,(W2/nb)*C) on top of the fold: the
+    # banded convs keep the block axis between layers, replacing the
+    # per-conv window stack / unstack passes with a cheap halo exchange and
+    # enabling a denser band (ops/folded.py "Block-batch carried layout").
+    # Auto-disabled when W2 has no wb%8==0 split (pick_nb returns None).
+    hourglass_blocked: bool = True
 
     # Mirror handling
     use_truncate_vol: bool = True

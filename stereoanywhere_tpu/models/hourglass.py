@@ -51,6 +51,39 @@ class DoubleFeatureAtt(nn.Module):
         )(feat_right)
         att_r = Conv(self.cv_features, 1, 1, 0, name="feat_att_right_1")(att_r)
 
+        if folded_w is not None and cv.ndim == 5:
+            # cv is the carried block layout (B, nb, W3, H, (W2/nb)*C).  The
+            # right gate is independent of W2, so it is built once at BLOCK
+            # width and broadcast over the nb axis inside the product fusion
+            # — the full-width (B, W3, H, W2*C) right factor of the folded
+            # path is never materialized.
+            from stereoanywhere_tpu.ops.folded import (
+                lane_broadcast_c,
+                resize_folded,
+                to_blocks,
+            )
+
+            c = self.cv_features
+            nb = cv.shape[1]
+            wb = folded_w // nb
+            gl = jax.nn.sigmoid(att_l)  # (B, Ha, Wl, C)
+            gr = jax.nn.sigmoid(att_r).transpose(0, 2, 1, 3)  # (B, Dr, Ha, C)
+            b, ha, wl, _ = gl.shape
+            same = (
+                gr.shape[1] == cv.shape[2] and ha == cv.shape[3] and wl == folded_w
+            )
+            if same:
+                l_b = to_blocks(gl.reshape(b, 1, ha, wl * c), nb)  # (B,nb,1,H,wb*C)
+                r_b = lane_broadcast_c(gr, wb)[:, None]  # (B,1,W3,H,wb*C)
+                return cv * l_b * r_b
+            # att at a different scale (non-shipped att_stride>1 configs):
+            # correct-but-slower folded gate + resize + re-block
+            gate = gl.reshape(b, ha, wl * c)[:, None] * lane_broadcast_c(gr, wl)
+            gate = resize_folded(
+                gate, (cv.shape[2], cv.shape[3], folded_w), w=wl, c=c
+            )
+            return to_blocks(gate, nb) * cv
+
         if folded_w is not None:
             # cv is lane-folded (B, W3, H, W2*C); same gating math without a
             # lane-padded 5-D intermediate (ops/folded.py).
@@ -147,6 +180,26 @@ class _SplitConv1Folded(nn.Module):
         return jax.nn.leaky_relu(y, negative_slope=0.01)
 
 
+class _SplitConv1Blocked(nn.Module):
+    """BasicConv(k=1, instance-norm, lrelu) over a conceptual channel concat
+    [a, b] of two carried-block-layout volumes — the blocked twin of
+    _SplitConv1Folded.  Parameter layout identical (conv/kernel
+    (1,1,1, ca+cb, cout))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, a: jax.Array, b: jax.Array, w: int, ca: int, cb: int) -> jax.Array:
+        from stereoanywhere_tpu.ops.folded import conv1x1x1_blocked, instance_norm_blocked
+
+        kernel = _Kernel3d(self.features, name="conv")(ca + cb)
+        y = conv1x1x1_blocked(a, kernel[..., :ca, :], w=w) + conv1x1x1_blocked(
+            b, kernel[..., ca:, :], w=w
+        )
+        y = instance_norm_blocked(y, self.features)
+        return jax.nn.leaky_relu(y, negative_slope=0.01)
+
+
 class Hourglass(nn.Module):
     """3-level 3-D encoder-decoder over the masked cost volume
     (reference hourglass.py:13-91).
@@ -163,9 +216,12 @@ class Hourglass(nn.Module):
     att_stride: int = 1
     att_padding: int = 1
     folded: bool = False  # x is lane-folded (B, W3, H, W2*C) in and out
+    blocked: bool = False  # x is carried-block (B, nb, W3, H, (W2/nb)*C) in and out
 
     @nn.compact
     def __call__(self, x, features_left, features_right):
+        if self.blocked:
+            return self._forward_blocked(x, features_left, features_right)
         if self.folded:
             return self._forward_folded(x, features_left, features_right)
         ns = len(self.feature_channels)  # number_of_scales = 4
@@ -213,6 +269,65 @@ class Hourglass(nn.Module):
         x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x)
         x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(
             x, features_left[0], features_right[0]
+        )
+        return x
+
+    def _forward_blocked(self, x, features_left, features_right):
+        """Same network on the carried block layout (B, nb, W3, H, (W2/nb)*C)
+        — identical parameters and multiply-adds to the folded path, but the
+        block axis lives across the whole hourglass, so each banded conv pays
+        only a halo exchange instead of the window stack / output
+        transpose+reshape passes (ops/folded.py 'Block-batch carried
+        layout')."""
+        from stereoanywhere_tpu.ops.folded import resize_blocked
+
+        ns = len(self.feature_channels)
+        cin = self.in_features
+        nb = x.shape[1]
+        w0 = x.shape[-1] * nb // cin
+        original = x
+
+        att_kw = dict(
+            kernel_size=self.att_kernel_size, stride=self.att_stride, padding=self.att_padding
+        )
+
+        down = []  # (tensor, w, c) per level
+        cur_w, cur_c = w0, cin
+        for i in range(ns - 1):
+            cout = cin * (2 * (i + 1))
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=2, name=f"down_layers_{i}_0")(x, folded_w=cur_w, folded_nb=nb)
+            cur_w //= 2
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"down_layers_{i}_1")(x, folded_w=cur_w, folded_nb=nb)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_{i}", **att_kw)(
+                x, features_left[i + 1], features_right[i + 1], folded_w=cur_w
+            )
+            cur_c = cout
+            down.append((x, cur_w, cur_c))
+
+        # Upsample + aggregate, stored-feature quirk preserved (see above).
+        for i in range(ns - 2):
+            cout = cin * (2 * (ns - i - 2))
+            skip, w_s, c_s = down[ns - 3 - i]
+            src, w_u, c_u = down[ns - 2 - i]
+            x_up = resize_blocked(
+                src, (skip.shape[2], skip.shape[3], w_s), w=w_u, c=c_u
+            )
+            x = _SplitConv1Blocked(cout, name=f"agg_layers_{i}_0")(x_up, skip, w_s, c_u, c_s)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_1")(x, folded_w=w_s, folded_nb=nb)
+            x = BasicConv(cout, is_3d=True, kernel_size=3, padding=1, stride=1, name=f"agg_layers_{i}_2")(x, folded_w=w_s, folded_nb=nb)
+            x = DoubleFeatureAtt(cout, name=f"feature_atts_up_{i}", **att_kw)(
+                x, features_left[ns - 2 - i], features_right[ns - 2 - i], folded_w=w_s
+            )
+            last_w, last_c = w_s, cout
+
+        x_up = resize_blocked(
+            x, (original.shape[2], original.shape[3], w0), w=last_w, c=last_c
+        )
+        x = _SplitConv1Blocked(cin, name="final_agg_0")(original, x_up, w0, cin, last_c)
+        x = BasicConv(cin, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_1")(x, folded_w=w0, folded_nb=nb)
+        x = BasicConv(self.out_features, is_3d=True, kernel_size=3, padding=1, stride=1, name="final_agg_2")(x, folded_w=w0, folded_nb=nb)
+        x = DoubleFeatureAtt(self.out_features, name="final_feature_atts_up", **att_kw)(
+            x, features_left[0], features_right[0], folded_w=w0
         )
         return x
 

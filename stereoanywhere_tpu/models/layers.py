@@ -394,17 +394,34 @@ class BasicConv(nn.Module):
     deconv: bool = False  # 2-D transposed conv (reference BasicConv deconv=True)
 
     @nn.compact
-    def __call__(self, x: jax.Array, folded_w: int | None = None) -> jax.Array:
+    def __call__(
+        self, x: jax.Array, folded_w: int | None = None, folded_nb: int | None = None
+    ) -> jax.Array:
         if folded_w is not None:
             # Lane-folded 3-D path: x is (B, D, H, W*Ci) (ops/folded.py) —
             # avoids the 16x lane padding of materialized low-channel NDHWC
-            # tensors.  Same parameters as every other branch.
+            # tensors.  With folded_nb, x is the carried block layout
+            # (B, nb, D, H, (W/nb)*Ci) — same math, no per-conv window
+            # stack/unstack passes.  Same parameters as every other branch.
             assert self.is_3d and not self.deconv and self.norm in ("instance", "none")
             from stereoanywhere_tpu.ops.folded import (
+                conv3d_blocked_io,
                 conv3d_folded_io,
+                instance_norm_blocked,
                 instance_norm_folded,
             )
 
+            if folded_nb is not None:
+                ci = x.shape[-1] * folded_nb // folded_w
+                kernel, _ = Conv3dParams(
+                    self.features, self.kernel_size, use_bias=False, name="conv"
+                )(ci)
+                x = conv3d_blocked_io(
+                    x, kernel, (self.stride,) * 3, self.padding, w=folded_w
+                )
+                if self.norm == "instance":
+                    x = instance_norm_blocked(x, self.features)
+                return _ACTS[self.act](x)
             ci = x.shape[-1] // folded_w
             kernel, _ = Conv3dParams(
                 self.features, self.kernel_size, use_bias=False, name="conv"

@@ -52,7 +52,13 @@ from stereoanywhere_tpu.ops.interp import (
     resize_nearest,
     resize_trilinear_align_corners,
 )
-from stereoanywhere_tpu.ops.folded import build_masked_volume_folded, unfold
+from stereoanywhere_tpu.ops.folded import (
+    build_masked_volume_blocked,
+    build_masked_volume_folded,
+    from_blocks,
+    pick_nb,
+    unfold,
+)
 from stereoanywhere_tpu.ops.volume import apply_bin_masks, gauss_corr_volume
 
 
@@ -69,13 +75,23 @@ class Conv3dClassifier(nn.Module):
         from stereoanywhere_tpu.ops.conv3d_fold import conv3d_folded
 
         if folded_w is not None:
-            # x is lane-folded (B, W3, H, W2*C).  The torch kernel axes were
-            # trained in (H, W2, W3) order (unfolded path below): permuting
-            # the KERNEL spatial axes to (W3, H, W2) instead of transposing
-            # the data gives the identical convolution with the volume left
-            # in hourglass order.  Returns (B, W3, H, W2).
-            from stereoanywhere_tpu.ops.folded import conv3d_folded_io
+            # x is lane-folded (B, W3, H, W2*C) — or, when 5-D, the carried
+            # block layout (B, nb, W3, H, (W2/nb)*C).  The torch kernel axes
+            # were trained in (H, W2, W3) order (unfolded path below):
+            # permuting the KERNEL spatial axes to (W3, H, W2) instead of
+            # transposing the data gives the identical convolution with the
+            # volume left in hourglass order.  Returns (B, W3, H, W2) folded
+            # or (B, nb, W3, H, W2/nb) blocked.
+            from stereoanywhere_tpu.ops.folded import conv3d_blocked_io, conv3d_folded_io
 
+            if x.ndim == 5:
+                ci = x.shape[-1] * x.shape[1] // folded_w
+                kernel, _ = Conv3dParams(
+                    1, 3, use_bias=False, kernel_init=nn.initializers.lecun_normal(), name="conv"
+                )(ci)
+                return conv3d_blocked_io(
+                    x, kernel.transpose(2, 0, 1, 3, 4), (1, 1, 1), 1, w=folded_w
+                )
             ci = x.shape[-1] // folded_w
             kernel, _ = Conv3dParams(
                 1, 3, use_bias=False, kernel_init=nn.initializers.lecun_normal(), name="conv"
@@ -190,13 +206,28 @@ class StereoAnywhere(nn.Module):
 
         # --- optional stereo-volume aggregation (ref :147-159; default OFF,
         # the released checkpoint aggregates only the mono volume) ----------
+        # Carried block layout for the folded hourglasses (ops/folded.py):
+        # nb_vol >= 2 keeps the banded convs' block axis alive across the
+        # whole aggregation network (halo exchange instead of window
+        # stack/unstack per conv).  None/1 -> plain folded path.
+        nb_vol = pick_nb(left_masks.shape[2]) if cfg.hourglass_blocked else None
+        blocked_vol = cfg.hourglass_folded and nb_vol is not None and nb_vol >= 2
+
         if cfg.use_aggregate_stereo_vol:
             if cfg.hourglass_folded:
-                masked_stereo = build_masked_volume_folded(
-                    stereo_vol.astype(jnp.float32), left_masks, right_masks, jnp.float32
-                ).astype(cdt)
+                if blocked_vol:
+                    masked_stereo = build_masked_volume_blocked(
+                        stereo_vol.astype(jnp.float32), left_masks, right_masks,
+                        cdt, nb_vol,
+                    )
+                else:
+                    masked_stereo = build_masked_volume_folded(
+                        stereo_vol.astype(jnp.float32), left_masks, right_masks,
+                        jnp.float32,
+                    ).astype(cdt)
                 agg_s = Hourglass(
-                    cfg.vol_n_masks, cfg.volume_channels, folded=True, name="hourglass_stereo"
+                    cfg.vol_n_masks, cfg.volume_channels, folded=True,
+                    blocked=blocked_vol, name="hourglass_stereo",
                 )(masked_stereo, fmde2, fmde3)
                 # stereo stack (ref :150-151; same identity-first quirk as mono)
                 for i in range(cfg.n_additional_hourglass):
@@ -204,13 +235,16 @@ class StereoAnywhere(nn.Module):
                         continue  # HourglassIdentity
                     agg_s = Hourglass(
                         cfg.volume_channels, cfg.volume_channels, folded=True,
-                        name=f"hourglass_stereo_stack_{i}",
+                        blocked=blocked_vol, name=f"hourglass_stereo_stack_{i}",
                     )(agg_s, fmde2, fmde3)
                 w2_vol = left_masks.shape[2]
-                agg_disp_stereo = (
-                    Conv3dClassifier(name="classifier_stereo")(agg_s, folded_w=w2_vol)
-                    .astype(jnp.float32)
-                    .transpose(0, 2, 3, 1)
+                agg_disp_stereo = Conv3dClassifier(name="classifier_stereo")(
+                    agg_s, folded_w=w2_vol
+                )
+                if blocked_vol:
+                    agg_disp_stereo = from_blocks(agg_disp_stereo)
+                agg_disp_stereo = agg_disp_stereo.astype(jnp.float32).transpose(
+                    0, 2, 3, 1
                 )  # (B,H,W2,W3)
             else:
                 masked_stereo = apply_bin_masks(
@@ -242,9 +276,14 @@ class StereoAnywhere(nn.Module):
         # twice (2x2.1 GB at 1024x1024).  The folded build additionally packs
         # (W2, N) into one lane axis — see ops/folded.py.
         if cfg.hourglass_folded:
-            masked_mono = build_masked_volume_folded(
-                mono_vol, left_masks, right_masks, cdt
-            )  # (B, W3, H, W2*N)
+            if blocked_vol:
+                masked_mono = build_masked_volume_blocked(
+                    mono_vol, left_masks, right_masks, cdt, nb_vol
+                )  # (B, nb, W3, H, (W2/nb)*N)
+            else:
+                masked_mono = build_masked_volume_folded(
+                    mono_vol, left_masks, right_masks, cdt
+                )  # (B, W3, H, W2*N)
         else:
             masked_mono = (
                 mono_vol.transpose(0, 3, 1, 2)[..., None].astype(cdt)
@@ -253,7 +292,7 @@ class StereoAnywhere(nn.Module):
             )
         agg = Hourglass(
             cfg.vol_n_masks, cfg.volume_channels,
-            folded=cfg.hourglass_folded, name="hourglass_mono",
+            folded=cfg.hourglass_folded, blocked=blocked_vol, name="hourglass_mono",
         )(masked_mono, fmde2, fmde3)
         # Additional stacked hourglasses (ref :69-72,163-164; default 0).
         # Reference quirk kept: stack[0] is HourglassIdentity, and the loop
@@ -264,7 +303,8 @@ class StereoAnywhere(nn.Module):
                 continue  # HourglassIdentity
             agg = Hourglass(
                 cfg.volume_channels, cfg.volume_channels,
-                folded=cfg.hourglass_folded, name=f"hourglass_mono_stack_{i}",
+                folded=cfg.hourglass_folded, blocked=blocked_vol,
+                name=f"hourglass_mono_stack_{i}",
             )(agg, fmde2, fmde3)
         # The reference un-permutes the volume to (H,W2,W3) BEFORE the
         # classifier conv3d (reference hourglass.py:91 -> stereoanywhere.py:165),
@@ -272,18 +312,15 @@ class StereoAnywhere(nn.Module):
         # (the folded classifier permutes the KERNEL instead of the data).
         if cfg.hourglass_folded:
             w2_vol = left_masks.shape[2]
-            agg_disp = (
-                Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
-                .astype(jnp.float32)
-                .transpose(0, 2, 3, 1)
-            )  # (B,H,W2,W3)
-            agg_conf = (
-                Conv3dClassifier(name="classifier_monoconf")(
-                    jax.lax.stop_gradient(agg), folded_w=w2_vol
-                )
-                .astype(jnp.float32)
-                .transpose(0, 2, 3, 1)
+            agg_disp = Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
+            agg_conf = Conv3dClassifier(name="classifier_monoconf")(
+                jax.lax.stop_gradient(agg), folded_w=w2_vol
             )
+            if blocked_vol:
+                agg_disp = from_blocks(agg_disp)
+                agg_conf = from_blocks(agg_conf)
+            agg_disp = agg_disp.astype(jnp.float32).transpose(0, 2, 3, 1)  # (B,H,W2,W3)
+            agg_conf = agg_conf.astype(jnp.float32).transpose(0, 2, 3, 1)
         else:
             agg = agg.transpose(0, 2, 3, 1, 4)  # (B,W3,H,W2,C) -> (B,H,W2,W3,C)
             agg_disp = Conv3dClassifier(name="classifier_mono")(agg).astype(jnp.float32)
@@ -469,8 +506,10 @@ class StereoAnywhere(nn.Module):
             if cfg.hourglass_folded:
                 # debug tensors always in the unfolded layouts of the
                 # non-folded path, so layer-wise comparisons are layout-free
-                dbg_masked = unfold(masked_mono, cfg.vol_n_masks)
-                dbg_agg = unfold(agg, cfg.volume_channels).transpose(0, 2, 3, 1, 4)
+                dbg_masked_f = from_blocks(masked_mono) if blocked_vol else masked_mono
+                dbg_agg_f = from_blocks(agg) if blocked_vol else agg
+                dbg_masked = unfold(dbg_masked_f, cfg.vol_n_masks)
+                dbg_agg = unfold(dbg_agg_f, cfg.volume_channels).transpose(0, 2, 3, 1, 4)
             else:
                 dbg_masked, dbg_agg = masked_mono, agg
             result.update(

@@ -36,15 +36,22 @@ conv3d (zeros elsewhere), so this is numerically a reordering only.
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
-def _pick_block(w: int, target: int = 32, multiple: int = 1) -> int:
+def _pick_block(w: int, target: int | None = None, multiple: int = 1) -> int:
     """Largest divisor of w that is <= target (preferring >= 8) and a
     multiple of `multiple` (the folded-axis stride: strided banded convs
     require block_w % sw == 0 — W=544 -> w4=136 would otherwise pick the odd
-    divisor 17 and crash every stride-2 hourglass conv)."""
+    divisor 17 and crash every stride-2 hourglass conv).
+
+    Default target 32 (trace-verified optimum for the stacked-window path;
+    SA_FOLD_BLOCK overrides for measurement sweeps)."""
+    if target is None:
+        target = int(os.environ.get("SA_FOLD_BLOCK", "32"))
     best = None
     for d in range(1, w + 1):
         if w % d == 0 and d % multiple == 0:

@@ -206,6 +206,203 @@ def resize_folded(
     return x
 
 
+# ---------------------------------------------------------------------------
+# Block-batch carried layout: (B, nb, D, H, wb*C), wb = W/nb.
+#
+# The blocked banded conv (conv3d_folded_io) pays three full-tensor layout
+# passes per conv — pad, nb-slice window stack, and the output
+# transpose+reshape back to folded — because the block axis is created and
+# destroyed around every conv.  Carrying the block axis as a real tensor
+# dimension between convs removes two of the three passes: the only per-conv
+# layout work left is the halo exchange (neighbor blocks contribute kw-1
+# lane-columns, fetched with two shifts along the nb axis), and the conv
+# output IS the carried layout.  It also unlocks smaller blocks (band density
+# kw/(wb+kw-1): 3/18 at wb=16 vs 3/34 at wb=32 — measured 27.6 -> 20.6 ms of
+# banded-conv time at 1024^2) that the stacked path couldn't afford (the
+# stack materialization grew faster than the conv shrank; device traces
+# 2026-08-19).  Every op below is an exact reordering of its folded
+# counterpart; equivalence is tested in tests/test_conv3d_fold.py.
+
+
+def pick_nb(w: int, target_wb: int = 16) -> int | None:
+    """Number of blocks for the carried layout: wb = w/nb nearest `target_wb`
+    with wb a multiple of 8 (three stride-2 hourglass levels each halve wb,
+    and the deepest level's banded conv still needs an even block).  Returns
+    None when w has no such split (caller falls back to the stacked path)."""
+    cands = [
+        nb for nb in range(1, w + 1) if w % nb == 0 and (w // nb) % 8 == 0
+    ]
+    if not cands:
+        return None
+    # minimize |wb - target|; on ties prefer MORE blocks (denser band)
+    return min(cands, key=lambda nb: (abs(w // nb - target_wb), -nb))
+
+
+def to_blocks(x: jax.Array, nb: int) -> jax.Array:
+    """Folded (B, D, H, W*C) -> blocked (B, nb, D, H, (W/nb)*C)."""
+    b, d, h, wc = x.shape
+    return x.reshape(b, d, h, nb, wc // nb).transpose(0, 3, 1, 2, 4)
+
+
+def from_blocks(x: jax.Array) -> jax.Array:
+    """Blocked (B, nb, D, H, wb*C) -> folded (B, D, H, nb*wb*C)."""
+    b, nb, d, h, l = x.shape
+    return x.transpose(0, 2, 3, 1, 4).reshape(b, d, h, nb * l)
+
+
+def halo_lanes(x: jax.Array, left: int, right: int, c: int) -> jax.Array:
+    """Concatenate `left`/`right` halo columns (at C granularity) from the
+    neighboring blocks onto each block's lane axis; W-edge blocks get zeros
+    (= the conv's zero padding).  x: (B, nb, D, H, wb*C) ->
+    (B, nb, D, H, (left+wb+right)*C)."""
+    if left == 0 and right == 0:
+        return x
+    parts = []
+    if left:
+        tail = x[..., -left * c :]
+        parts.append(jnp.pad(tail, ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1])
+    parts.append(x)
+    if right:
+        head = x[..., : right * c]
+        parts.append(jnp.pad(head, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def conv3d_blocked_io(
+    x: jax.Array,
+    kernel: jax.Array,
+    strides: tuple[int, int, int] = (1, 1, 1),
+    padding: int = 1,
+    *,
+    w: int,
+) -> jax.Array:
+    """NDHWC conv3d on the carried block layout, blocked in and out.
+
+    x: (B, nb, D, H, (w/nb)*Ci); kernel (kd, kh, kw, Ci, Co); torch-style
+    symmetric `padding` (must equal (kw-1)/2 for kw>1 — the halo exchange
+    assumes the size-preserving window).  Returns
+    (B, nb, D', H', (w/nb/sw)*Co) — same multiply-adds as conv3d_folded_io."""
+    b, nb, d, h, wbci = x.shape
+    kd, kh, kw, ci, co = kernel.shape
+    wb = w // nb
+    assert wbci == wb * ci and w % nb == 0, (x.shape, w, ci)
+    sd, sh, sw = strides
+    p = padding
+    assert (w + 2 * p - kw) // sw + 1 == w // sw, (
+        "blocked fold assumes a size-preserving (stride-divided) conv on W"
+    )
+    assert wb % sw == 0, (wb, sw)
+    wb_in = wb + kw - 1
+    wb_out = wb // sw
+
+    k2 = _banded_kernel(kernel, wb_in, wb_out, sw, x.dtype)
+    wins = halo_lanes(x, p, kw - 1 - p, ci).reshape(b * nb, d, h, wb_in * ci)
+    y = lax.conv_general_dilated(
+        wins, k2, (sd, sh), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y.reshape(b, nb, y.shape[1], y.shape[2], wb_out * co)
+
+
+def conv1x1x1_blocked(x: jax.Array, kernel: jax.Array, *, w: int) -> jax.Array:
+    """1x1x1 conv (channel matmul) on the carried block layout."""
+    if kernel.ndim == 5:
+        kernel = kernel[0, 0, 0]
+    return conv3d_blocked_io(x, kernel[None, None, None], (1, 1, 1), 0, w=w)
+
+
+def instance_norm_blocked(x: jax.Array, c: int, eps: float = 1e-5) -> jax.Array:
+    """Per-sample, per-channel instance norm on a blocked volume — identical
+    statistics to instance_norm_folded (same two-stage f32 reduction, same
+    producer barrier)."""
+    x = lax.optimization_barrier(x)
+    b, nb, d, h, wbc = x.shape
+    wb = wbc // c
+    n = nb * d * h * wb
+    s = jnp.sum(x, axis=(1, 2, 3), dtype=jnp.float32).reshape(b, wb, c).sum(axis=1)
+    s2 = (
+        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3))
+        .reshape(b, wb, c)
+        .sum(axis=1)
+    )
+    mean = s / n
+    var = s2 / n - jnp.square(mean)
+    inv = lax.rsqrt(var + eps)
+    mean_l = jnp.tile(mean.astype(x.dtype), (1, wb))[:, None, None, None, :]
+    inv_l = jnp.tile(inv.astype(x.dtype), (1, wb))[:, None, None, None, :]
+    return (x - mean_l) * inv_l
+
+
+def resize_blocked(
+    x: jax.Array, out_dhw: tuple[int, int, int], *, w: int, c: int
+) -> jax.Array:
+    """Align-corners trilinear resize on the carried block layout (nb fixed).
+
+    D/H resize via the shared interp-matrix matmuls (axes 2/3); the W axis
+    via PER-BLOCK interp matrices applied to halo'd slabs with one batched
+    einsum — linear interpolation reads at most one element beyond each
+    block edge, so a 1-column halo is always sufficient.  W upsampling only
+    (all hourglass decoder resizes upsample; the folded path covers the
+    rest).  Exact parity with resize_folded / resize_trilinear_align_corners.
+    """
+    d_out, h_out, w_out = out_dhw
+    b, nb, d, h, wbc = x.shape
+    wb = wbc // c
+    assert w == nb * wb and w_out % nb == 0 and w_out >= w, (x.shape, w, w_out)
+    wbo = w_out // nb
+
+    def lane_resize(t: jax.Array) -> jax.Array:
+        if w_out == w:
+            return t
+        m = _interp_matrix(w, w_out)  # (w_out, w), <=2 nonzeros per row
+        # per-block rows [i*wbo:(i+1)*wbo], columns [i*wb-1 : (i+1)*wb+1]
+        mp = jnp.pad(m, ((0, 0), (1, 1)))
+        mb = jnp.stack(
+            [mp[i * wbo : (i + 1) * wbo, i * wb : i * wb + wb + 2] for i in range(nb)]
+        )  # (nb, wbo, wb+2)
+        eye = jnp.eye(c, dtype=jnp.float32)
+        mbk = jnp.einsum("now,ck->nocwk", mb, eye).reshape(
+            nb, wbo * c, (wb + 2) * c
+        ).astype(t.dtype)
+        slab = halo_lanes(t, 1, 1, c)  # (B, nb, D, H, (wb+2)*C)
+        return jnp.einsum(
+            "bndhk,nok->bndho", slab, mbk, preferred_element_type=jnp.float32
+        ).astype(t.dtype)
+
+    if w_out >= w:
+        x = lane_resize(x)
+        x = _resize_axis_align_corners(x, 2, d_out)
+        x = _resize_axis_align_corners(x, 3, h_out)
+    return x
+
+
+def build_masked_volume_blocked(
+    volume: jax.Array,
+    left_masks: jax.Array,
+    right_masks: jax.Array,
+    dtype,
+    nb: int,
+) -> jax.Array:
+    """Masked cost volume emitted directly in the carried block layout.
+
+    Same values as build_masked_volume_folded -> to_blocks, but the
+    right-mask lane broadcast is built once at BLOCK width (w2/nb lanes) and
+    broadcast over the nb axis inside the product fusion — the full-width
+    (B, W3, H, W2*N) right factor is never materialized."""
+    b, hh, w2, n = left_masks.shape
+    wb = w2 // nb
+    vol_t = volume.transpose(0, 3, 1, 2).astype(dtype)  # (B, W3, H, W2)
+    vol_b = to_blocks(vol_t, nb)  # (B, nb, W3, H, wb)
+    vol_l = lane_broadcast_w(vol_b, n)  # (B, nb, W3, H, wb*N)
+    left_b = to_blocks(
+        left_masks.reshape(b, 1, hh, w2 * n).astype(dtype), nb
+    )  # (B, nb, 1, H, wb*N)
+    right_l = lane_broadcast_c(
+        right_masks.transpose(0, 2, 1, 3).astype(dtype), wb
+    )[:, None]  # (B, 1, W3, H, wb*N) — shared by every block
+    return vol_l * left_b * right_l
+
+
 def build_masked_volume_folded(
     volume: jax.Array, left_masks: jax.Array, right_masks: jax.Array, dtype
 ) -> jax.Array:

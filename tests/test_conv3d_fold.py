@@ -199,6 +199,131 @@ def test_folded_elementwise_ops_match(rng):
     )
 
 
+def test_blocked_ops_match_folded(rng):
+    """Carried block layout (B, nb, D, H, wb*C): every op is an exact
+    reordering of its folded counterpart (ops/folded.py)."""
+    from stereoanywhere_tpu.ops.folded import (
+        build_masked_volume_blocked,
+        build_masked_volume_folded,
+        conv3d_blocked_io,
+        conv3d_folded_io,
+        fold,
+        from_blocks,
+        instance_norm_blocked,
+        instance_norm_folded,
+        pick_nb,
+        resize_blocked,
+        resize_folded,
+        to_blocks,
+    )
+
+    assert [pick_nb(w) for w in (24, 32, 80, 136, 256, 17)] == [3, 2, 5, 17, 16, None]
+
+    B, D, H, W, C = 2, 6, 4, 32, 8
+    x5 = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+    xf = fold(x5)
+    nb = 2
+    xb = to_blocks(xf, nb)
+    np.testing.assert_array_equal(np.asarray(from_blocks(xb)), np.asarray(xf))
+
+    for co, st, k, p in [(16, (1, 1, 1), 3, 1), (8, (2, 2, 2), 3, 1), (16, (1, 1, 1), 1, 0)]:
+        kern = jnp.asarray(rng.standard_normal((k, k, k, C, co)).astype(np.float32))
+        want = conv3d_folded_io(xf, kern, st, p, w=W)
+        got = from_blocks(conv3d_blocked_io(xb, kern, st, p, w=W))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    np.testing.assert_allclose(
+        np.asarray(from_blocks(instance_norm_blocked(xb, C))),
+        np.asarray(instance_norm_folded(xf, C)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    for tgt in [(12, 8, 64), (D, H, W)]:  # W upsample + same-W
+        np.testing.assert_allclose(
+            np.asarray(from_blocks(resize_blocked(xb, tgt, w=W, c=C))),
+            np.asarray(resize_folded(xf, tgt, w=W, c=C)),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    H2, W2, W3, N = 4, 32, 6, 8
+    vol = jnp.asarray(rng.standard_normal((B, H2, W2, W3)).astype(np.float32))
+    lm = jnp.asarray(rng.standard_normal((B, H2, W2, N)).astype(np.float32))
+    rm = jnp.asarray(rng.standard_normal((B, H2, W3, N)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(from_blocks(build_masked_volume_blocked(vol, lm, rm, jnp.float32, nb))),
+        np.asarray(build_masked_volume_folded(vol, lm, rm, jnp.float32)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_hourglass_blocked_matches_folded(rng):
+    """Hourglass(blocked=True) == Hourglass(folded=True): identical param
+    tree/init, matching outputs on the carried block layout."""
+    from stereoanywhere_tpu.models.hourglass import Hourglass
+    from stereoanywhere_tpu.ops.folded import fold, from_blocks, pick_nb, to_blocks
+
+    B, W3, H, W2, C = 1, 24, 16, 32, 8
+    x = jnp.asarray(rng.standard_normal((B, W3, H, W2, C)).astype(np.float32))
+    fl = [
+        jnp.asarray(rng.standard_normal((B, H // 2**i, W2 // 2**i, 1)).astype(np.float32))
+        for i in range(4)
+    ]
+    fr = [
+        jnp.asarray(rng.standard_normal((B, H // 2**i, W3 // 2**i, 1)).astype(np.float32))
+        for i in range(4)
+    ]
+    nb = pick_nb(W2)
+    assert nb == 2
+    hg_f = Hourglass(C, C, folded=True)
+    hg_b = Hourglass(C, C, folded=True, blocked=True)
+    vf = hg_f.init(jax.random.PRNGKey(3), fold(x), fl, fr)
+    vb = hg_b.init(jax.random.PRNGKey(3), to_blocks(fold(x), nb), fl, fr)
+    kf = [(jax.tree_util.keystr(p), v.shape) for p, v in jax.tree_util.tree_flatten_with_path(vf)[0]]
+    kb = [(jax.tree_util.keystr(p), v.shape) for p, v in jax.tree_util.tree_flatten_with_path(vb)[0]]
+    assert kf == kb
+    for a, b in zip(jax.tree_util.tree_leaves(vf), jax.tree_util.tree_leaves(vb)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    want = np.asarray(hg_f.apply(vf, fold(x), fl, fr))
+    got = np.asarray(from_blocks(hg_b.apply(vf, to_blocks(fold(x), nb), fl, fr)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_model_forward_blocked_matches_folded(rng):
+    """Full StereoAnywhere forward: hourglass_blocked True/False agree at a
+    width whose W2 blocks (w4=32 -> nb=2), incl. the stereo aggregation and
+    stacked hourglasses."""
+    from dataclasses import replace
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    h, w = 64, 128
+    xs = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
+        for c in (3, 3, 1, 1)
+    )
+    cfg_b = StereoAnywhereConfig(use_aggregate_stereo_vol=True, n_additional_hourglass=2)
+    cfg_f = replace(cfg_b, hourglass_blocked=False)
+    m_b, m_f = StereoAnywhere(cfg_b), StereoAnywhere(cfg_f)
+    vb = jax.jit(lambda k, *a: m_b.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), *xs
+    )
+    vf = jax.jit(lambda k, *a: m_f.init(k, *a, iters=1, test_mode=True))(
+        jax.random.PRNGKey(0), *xs
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(vb), jax.tree_util.tree_leaves(vf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ob = jax.jit(lambda v, *a: m_b.apply(v, *a, iters=4, test_mode=True))(vb, *xs)
+    of = jax.jit(lambda v, *a: m_f.apply(v, *a, iters=4, test_mode=True))(vf, *xs)
+    for key in ("disparity", "coarse_dispmono2", "coarse_dispstereo2", "coarse_conf2"):
+        a = np.asarray(ob[key], np.float32)
+        b = np.asarray(of[key], np.float32)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0, err_msg=key)
+
+
 def test_hourglass_folded_matches_unfolded(rng):
     """Hourglass(folded=True) == Hourglass(folded=False): identical param
     tree/init, matching outputs."""
