@@ -119,17 +119,45 @@ def sample_1d_linear(values: jax.Array, coords: jax.Array) -> jax.Array:
     Matches `F.grid_sample(..., align_corners=True, padding_mode='zeros')`
     restricted to a 1-D row (reference utils/utils.py:19-35 bilinear_sampler,
     which asserts H==1 — "this is a stereo problem").
-    """
+
+    Lowering: the windowed-slab tent of ops/corr_lookup.py at radius 0 —
+    each position one-hot-selects a (W/nb + 2)-lane slab around its
+    coordinate via nb masked static slices, then evaluates the linear tent
+    max(0, 1-|j-pos|) over the slab.  Identical values to gather+lerp with
+    zeros padding (the tent IS the lerp; out-of-range taps fade to exact
+    zeros), but no per-element dynamic gather — XLA lowers take_along_axis
+    to an element-at-a-time TPU gather (measured 12 ms of warp gathers in
+    the 1024^2 base).  Tiny/indivisible W falls back to the gather."""
     w = values.shape[-1]
-    x0 = jnp.floor(coords)
-    frac = coords - x0
-    x0i = x0.astype(jnp.int32)
-    x1i = x0i + 1
+    nb = min(8, w // 16)
+    if nb < 2 or w % nb:
+        x0 = jnp.floor(coords)
+        frac = coords - x0
+        x0i = x0.astype(jnp.int32)
 
-    def tap(idx, weight):
-        valid = (idx >= 0) & (idx <= w - 1)
-        safe = jnp.clip(idx, 0, w - 1)
-        v = jnp.take_along_axis(values, safe, axis=-1)
-        return v * weight * valid.astype(values.dtype)
+        def tap(idx, weight):
+            valid = (idx >= 0) & (idx <= w - 1)
+            safe = jnp.clip(idx, 0, w - 1)
+            v = jnp.take_along_axis(values, safe, axis=-1)
+            return v * weight * valid.astype(values.dtype)
 
-    return tap(x0i, (1.0 - frac).astype(values.dtype)) + tap(x1i, frac.astype(values.dtype))
+        return tap(x0i, (1.0 - frac).astype(values.dtype)) + tap(
+            x0i + 1, frac.astype(values.dtype)
+        )
+
+    block = w // nb
+    slab_len = block + 2
+    pos = coords.astype(jnp.float32)[..., None]  # (..., K, 1)
+    c = jnp.clip(jnp.floor((pos - 1.0) * (1.0 / block)), 0, nb - 1).astype(jnp.int32)
+    vp = jnp.pad(values, [(0, 0)] * (values.ndim - 1) + [(0, slab_len - block)])
+    vrow = vp[..., None, :]  # (..., 1, W+pad): every position reads one row
+    slab = jnp.zeros(coords.shape + (slab_len,), values.dtype)
+    for bi in range(nb):
+        m = c == bi
+        slab = jnp.where(
+            m, jax.lax.slice_in_dim(vrow, bi * block, bi * block + slab_len, axis=-1), slab
+        )
+    local = pos - c.astype(jnp.float32) * block
+    j = jnp.arange(slab_len, dtype=jnp.float32)
+    wgt = jnp.maximum(1.0 - jnp.abs(j - local), 0.0).astype(values.dtype)
+    return jnp.sum(slab * wgt, axis=-1, dtype=jnp.float32).astype(values.dtype)

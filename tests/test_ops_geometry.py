@@ -83,7 +83,12 @@ def torch_disp_warping(disp, img, right_disp):
 
 
 def test_disp_warping(rng):
-    b, h, w, c = 2, 6, 9, 3
+    # w=9 exercises the gather fallback; w=48 the windowed-slab tent path
+    for b, h, w, c in [(2, 6, 9, 3), (1, 7, 48, 2)]:
+        _check_disp_warping(rng, b, h, w, c)
+
+
+def _check_disp_warping(rng, b, h, w, c):
     disp = rng.uniform(-2, 4, (b, h, w, 1)).astype(np.float32)
     img = rng.standard_normal((b, h, w, c)).astype(np.float32)
     for right in (False, True):

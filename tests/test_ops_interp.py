@@ -76,17 +76,19 @@ def test_avg_pool_last_axis(rng):
 
 
 def test_sample_1d_linear_matches_grid_sample(rng):
-    # reference utils/utils.py:19-35 bilinear_sampler on a 1-row image
-    bhw, w2 = 6, 12
-    vals = rng.standard_normal((bhw, 1, 1, w2)).astype(np.float32)
-    coords = rng.uniform(-2, w2 + 1, (bhw, 1, 9)).astype(np.float32)
+    # reference utils/utils.py:19-35 bilinear_sampler on a 1-row image.
+    # w2=12 exercises the gather fallback; w2=64 the windowed-slab tent.
+    for w2 in (12, 64):
+        bhw = 6
+        vals = rng.standard_normal((bhw, 1, 1, w2)).astype(np.float32)
+        coords = rng.uniform(-2, w2 + 1, (bhw, 1, 9)).astype(np.float32)
 
-    ours = np.asarray(
-        sample_1d_linear(jnp.asarray(vals[:, :, 0, :]), jnp.asarray(coords))
-    )  # (BHW,1,9)
+        ours = np.asarray(
+            sample_1d_linear(jnp.asarray(vals[:, :, 0, :]), jnp.asarray(coords))
+        )  # (BHW,1,9)
 
-    xg = 2 * torch.from_numpy(coords)[..., None] / (w2 - 1) - 1  # (BHW,1,9,1)
-    grid = torch.cat([xg, torch.zeros_like(xg)], dim=-1)
-    ref = F.grid_sample(torch.from_numpy(vals), grid, align_corners=True).numpy()
-    # grid_sample output: (BHW, C=1, 1, 9); ours (BHW,1,9)
-    np.testing.assert_allclose(ours, ref[:, 0, :, :], rtol=1e-5, atol=1e-5)
+        xg = 2 * torch.from_numpy(coords)[..., None] / (w2 - 1) - 1  # (BHW,1,9,1)
+        grid = torch.cat([xg, torch.zeros_like(xg)], dim=-1)
+        ref = F.grid_sample(torch.from_numpy(vals), grid, align_corners=True).numpy()
+        # grid_sample output: (BHW, C=1, 1, 9); ours (BHW,1,9)
+        np.testing.assert_allclose(ours, ref[:, 0, :, :], rtol=1e-5, atol=1e-5)
