@@ -268,6 +268,34 @@ def halo_lanes(x: jax.Array, left: int, right: int, c: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def _banded_kernel_append(
+    kernel: jax.Array, wb: int, wb_out: int, sw: int, p: int, dtype
+) -> jax.Array:
+    """Banded kernel for the APPENDED-halo window layout: input rows are the
+    wb in-block columns followed by the left-halo column (global offset -1)
+    then the right-halo column (offset wb).  Same taps as _banded_kernel,
+    permuted rows."""
+    kd, kh, kw, ci, co = kernel.shape
+    g = jnp.asarray(list(range(wb)) + [-1, wb])  # (wb+2,) global in-block offsets
+    wo = jnp.arange(wb_out)
+    tap = g[:, None] - sw * wo[None, :] + p  # (wb+2, wb_out)
+    band = (tap[..., None] == jnp.arange(kw)).astype(dtype)
+    k2 = jnp.einsum("dhkco,wvk->dhwcvo", kernel.astype(dtype), band)
+    return k2.reshape(kd, kh, (wb + 2) * ci, wb_out * co)
+
+
+def halo_lanes_append(x: jax.Array, c: int) -> jax.Array:
+    """Append ONE left-neighbor tail column and ONE right-neighbor head
+    column (at C granularity) to the END of each block's lane axis; W-edge
+    blocks get zeros.  Unlike halo_lanes' [left | block | right] order, the
+    big chunk lands at lane offset 0, so whenever wb*C is a multiple of the
+    128-lane tile the concatenate is tile-aligned (measured: the interleaved
+    order cost ~13 ms of misaligned concats at 1024^2)."""
+    tail = jnp.pad(x[..., -c:], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+    head = jnp.pad(x[..., :c], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
+    return jnp.concatenate([x, tail, head], axis=-1)
+
+
 def conv3d_blocked_io(
     x: jax.Array,
     kernel: jax.Array,
@@ -292,11 +320,15 @@ def conv3d_blocked_io(
         "blocked fold assumes a size-preserving (stride-divided) conv on W"
     )
     assert wb % sw == 0, (wb, sw)
-    wb_in = wb + kw - 1
     wb_out = wb // sw
 
-    k2 = _banded_kernel(kernel, wb_in, wb_out, sw, x.dtype)
-    wins = halo_lanes(x, p, kw - 1 - p, ci).reshape(b * nb, d, h, wb_in * ci)
+    if kw == 3 and p == 1:
+        k2 = _banded_kernel_append(kernel, wb, wb_out, sw, p, x.dtype)
+        wins = halo_lanes_append(x, ci).reshape(b * nb, d, h, (wb + 2) * ci)
+    else:
+        wb_in = wb + kw - 1
+        k2 = _banded_kernel(kernel, wb_in, wb_out, sw, x.dtype)
+        wins = halo_lanes(x, p, kw - 1 - p, ci).reshape(b * nb, d, h, wb_in * ci)
     y = lax.conv_general_dilated(
         wins, k2, (sd, sh), ((p, p), (p, p)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
