@@ -19,7 +19,10 @@ from flax import linen as nn
 from stereoanywhere_tpu.config import MonoConfig
 from stereoanywhere_tpu.models.dinov2 import VIT_CONFIGS, DinoVisionTransformer
 from stereoanywhere_tpu.models.layers import Conv, ConvTransposeTorch
-from stereoanywhere_tpu.ops.interp import resize_bilinear_align_corners
+from stereoanywhere_tpu.ops.interp import (
+    resize_bilinear_align_corners,
+    resize_bilinear_halfpix,
+)
 
 INTERMEDIATE_LAYER_IDX = {
     "vits": (2, 5, 8, 11),
@@ -97,9 +100,10 @@ class DPTHead(nn.Module):
         p1 = FeatureFusionBlock(f, name="scratch_refinenet1")(p2, l1)
 
         out = Conv(f // 2, 3, 1, 1, name="scratch_output_conv1")(p1)
-        out = jax.image.resize(
-            out, (out.shape[0], patch_h * 14, patch_w * 14, out.shape[-1]), "bilinear"
-        )
+        # align_corners=False upsample (reference dpt.py:148) via constant
+        # interp-matrix matmuls — same values as jax.image.resize 'bilinear',
+        # which lowered to a 3 ms conv/pad chain on v5e (ops/interp.py).
+        out = resize_bilinear_halfpix(out, (patch_h * 14, patch_w * 14))
         out = Conv(32, 3, 1, 1, name="scratch_output_conv2_0")(out)
         out = jax.nn.relu(out)
         out = Conv(1, 1, 1, 0, name="scratch_output_conv2_2")(out)

@@ -306,22 +306,39 @@ class ConvTransposeTorch(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.kernel_size
-        in_features = x.shape[-1]
+        b, h, w, in_features = x.shape
         # Stored in torch ConvTranspose2d layout-equivalent: (kh, kw, out, in)
         # so the converter maps weight (in, out, kh, kw) -> transpose(2,3,1,0).
         kernel = self.param(
             "kernel", kaiming_normal_fan_out(), (k, k, self.features, in_features)
         )
-        flipped = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,in,out)
-        pad = k - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x,
-            flipped.astype(x.dtype),
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            lhs_dilation=(self.stride, self.stride),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if k == self.stride and self.padding == 0:
+            # Non-overlapping transposed conv (the DPT head's 4x4/s4 and
+            # 2x2/s2 resize layers) == exact matmul + depth-to-space: each
+            # output pixel out[ki+di, kj+dj, o] = sum_c in[i,j,c]*K[di,dj,o,c]
+            # — no window overlap, so the lhs-dilated conv lowering (16x
+            # structurally-zero MACs at k=4) is pure waste.  Same sums,
+            # MXU-shaped.
+            km = kernel.transpose(3, 0, 1, 2).reshape(
+                in_features, k * k * self.features
+            )
+            y = jnp.einsum(
+                "bhwc,cf->bhwf", x, km.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            y = y.reshape(b, h, w, k, k, self.features)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * k, w * k, self.features)
+        else:
+            flipped = jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2)  # (kh,kw,in,out)
+            pad = k - 1 - self.padding
+            y = jax.lax.conv_general_dilated(
+                x,
+                flipped.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                lhs_dilation=(self.stride, self.stride),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(y.dtype)

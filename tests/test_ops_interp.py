@@ -3,6 +3,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from stereoanywhere_tpu.ops import (
@@ -92,3 +93,17 @@ def test_sample_1d_linear_matches_grid_sample(rng):
         ref = F.grid_sample(torch.from_numpy(vals), grid, align_corners=True).numpy()
         # grid_sample output: (BHW, C=1, 1, 9); ours (BHW,1,9)
         np.testing.assert_allclose(ours, ref[:, 0, :, :], rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_halfpix_matches_jax_image(rng):
+    # the DPT head's align_corners=False upsample (models/dpt.py) — matrix
+    # form must match jax.image.resize 'bilinear' exactly (upsampling)
+    from stereoanywhere_tpu.ops.interp import resize_bilinear_halfpix
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 5)).astype(np.float32))
+    for hw in [(14, 18), (21, 27), (7, 20)]:
+        want = np.asarray(
+            jax.image.resize(x, (2, hw[0], hw[1], 5), "bilinear")
+        )
+        got = np.asarray(resize_bilinear_halfpix(x, hw))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -21,6 +21,7 @@ def main():
     ap.add_argument("--iters", type=int, nargs="+", default=[4, 36])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--lookup", default="auto")
+    ap.add_argument("--unroll", type=int, default=1)
     args = ap.parse_args()
 
     import jax
@@ -34,7 +35,7 @@ def main():
 
     print(f"backend={jax.default_backend()}")
     h = w = args.size
-    cfg = StereoAnywhereConfig(compute_dtype=args.dtype, lookup_impl=args.lookup)
+    cfg = StereoAnywhereConfig(compute_dtype=args.dtype, lookup_impl=args.lookup, scan_unroll=args.unroll)
     model = StereoAnywhere(cfg)
     rng = np.random.default_rng(0)
     xs = tuple(

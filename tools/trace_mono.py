@@ -54,21 +54,24 @@ def main():
         rng.uniform(0, 1, (args.batch, args.size, args.size, 3)).astype(np.float32)
     )
 
+    # params passed as an ARGUMENT: closing over the 334M-param tree embeds
+    # ~668 MB of constants in the program (the remote compile service
+    # rejects the request with HTTP 413)
     @functools.partial(jax.jit, compiler_options=TPU_COMPILER_OPTIONS)
-    def fwd(img):
-        return jnp.mean(model.apply(variables, imagenet_normalize(img)).astype(jnp.float32))
+    def fwd(v, img):
+        return jnp.mean(model.apply(v, imagenet_normalize(img)).astype(jnp.float32))
 
-    float(fwd(x))
-    float(fwd(x))
+    float(fwd(variables, x))
+    float(fwd(variables, x))
 
     os.makedirs(args.out, exist_ok=True)
     with jax.profiler.trace(args.out):
-        float(fwd(x))
+        float(fwd(variables, x))
 
     summarize(args.out, args.top)
 
     if args.dump_hlo:
-        txt = fwd.lower(x).compile().as_text()
+        txt = fwd.lower(variables, x).compile().as_text()
         with open(args.dump_hlo, "w") as f:
             f.write(txt)
         print(f"optimized HLO -> {args.dump_hlo} ({len(txt)/1e6:.1f} MB)")
