@@ -70,9 +70,24 @@ class Conv3dClassifier(nn.Module):
     (measured 12.9 ms at 512x512; folded ~0.2 ms)."""
 
     @nn.compact
-    def __call__(self, x, folded_w: int | None = None):
+    def __call__(self, x, folded_w: int | None = None, return_kernel: bool = False):
         from stereoanywhere_tpu.models.layers import Conv3dParams, _use_banded_conv3d
         from stereoanywhere_tpu.ops.conv3d_fold import conv3d_folded
+
+        if return_kernel:
+            # expose the (3,3,3,Ci,1) kernel so the caller can batch sibling
+            # classifiers into ONE conv (inference fuses classifier_mono +
+            # classifier_monoconf: a co=1 banded conv fills only wb of the
+            # MXU's 128 output lanes)
+            ci = (
+                x.shape[-1] * x.shape[1] // folded_w
+                if x.ndim == 5
+                else x.shape[-1] // folded_w
+            ) if folded_w is not None else x.shape[-1]
+            kernel, _ = Conv3dParams(
+                1, 3, use_bias=False, kernel_init=nn.initializers.lecun_normal(), name="conv"
+            )(ci)
+            return kernel
 
         if folded_w is not None:
             # x is lane-folded (B, W3, H, W2*C) — or, when 5-D, the carried
@@ -312,13 +327,33 @@ class StereoAnywhere(nn.Module):
         # (the folded classifier permutes the KERNEL instead of the data).
         if cfg.hourglass_folded:
             w2_vol = left_masks.shape[2]
-            agg_disp = Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
-            agg_conf = Conv3dClassifier(name="classifier_monoconf")(
-                jax.lax.stop_gradient(agg), folded_w=w2_vol
-            )
-            if blocked_vol:
-                agg_disp = from_blocks(agg_disp)
-                agg_conf = from_blocks(agg_conf)
+            if test_mode and blocked_vol:
+                # Inference: batch both classifiers into ONE banded conv
+                # (identical math — concatenated output channels; a co=1
+                # conv fills only wb of the MXU's 128 output lanes).  The
+                # conf head's stop_gradient is a no-op without grads.
+                from stereoanywhere_tpu.ops.folded import conv3d_blocked_io
+
+                k_mono = Conv3dClassifier(name="classifier_mono")(
+                    agg, folded_w=w2_vol, return_kernel=True
+                )
+                k_conf = Conv3dClassifier(name="classifier_monoconf")(
+                    agg, folded_w=w2_vol, return_kernel=True
+                )
+                kk = jnp.concatenate([k_mono, k_conf], axis=-1)  # (3,3,3,Ci,2)
+                both = conv3d_blocked_io(
+                    agg, kk.transpose(2, 0, 1, 3, 4), (1, 1, 1), 1, w=w2_vol
+                )  # (B, nb, W3, H, (W2/nb)*2), lanes w-major (mono, conf)-minor
+                agg_disp = from_blocks(both[..., 0::2])
+                agg_conf = from_blocks(both[..., 1::2])
+            else:
+                agg_disp = Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
+                agg_conf = Conv3dClassifier(name="classifier_monoconf")(
+                    jax.lax.stop_gradient(agg), folded_w=w2_vol
+                )
+                if blocked_vol:
+                    agg_disp = from_blocks(agg_disp)
+                    agg_conf = from_blocks(agg_conf)
             agg_disp = agg_disp.astype(jnp.float32).transpose(0, 2, 3, 1)  # (B,H,W2,W3)
             agg_conf = agg_conf.astype(jnp.float32).transpose(0, 2, 3, 1)
         else:
