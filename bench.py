@@ -41,19 +41,22 @@ BASELINES = {
 }
 
 
-def emit(metric: str, value: float) -> None:
+SESSION = f"{int(time.time())}"
+
+
+def emit(metric: str, value: float, samples=None) -> None:
     base = BASELINES[metric]
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 4),
-                "unit": "s",
-                "vs_baseline": round(base / value, 2) if base else None,
-            }
-        ),
-        flush=True,
-    )
+    row = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(base / value, 2) if base else None,
+        "session": SESSION,
+    }
+    if samples is not None and len(samples) > 1:
+        row["std"] = round(float(np.std(samples, ddof=1)), 4)
+        row["n"] = len(samples)
+    print(json.dumps(row), flush=True)
 
 
 def _inputs(h, w, batch=1):
@@ -100,7 +103,9 @@ def bench_stereo(size: int) -> float:
     # correctness sanity on the real forward before timing
     single = tpu_jit(lambda v, *a: jnp.mean(fwd(v, *a).astype(jnp.float32)))
     assert np.isfinite(float(single(variables, *args))), "non-finite disparity"
-    return chained_timer(fwd, *args, n_chain=8, repeats=3, const_args=(variables,))
+    return chained_timer(
+        fwd, *args, n_chain=8, repeats=5, const_args=(variables,), return_samples=True
+    )
 
 
 def bench_mono() -> float:
@@ -124,7 +129,9 @@ def bench_mono() -> float:
     def fwd(v, img):
         return model.apply(v, imagenet_normalize(img))
 
-    return chained_timer(fwd, x, n_chain=8, repeats=3, const_args=(variables,))
+    return chained_timer(
+        fwd, x, n_chain=8, repeats=5, const_args=(variables,), return_samples=True
+    )
 
 
 def bench_train_step() -> float:
@@ -162,7 +169,7 @@ def bench_train_step() -> float:
         logs = trainer.step(batch)
         float(logs["loss/total"])  # host sync
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), times
 
 
 def main():
@@ -174,11 +181,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     got: dict[str, float] = {}
+    spread: dict[str, list] = {}
 
     def run(metric, fn):
         try:
-            got[metric] = fn()
-            emit(metric, got[metric])
+            got[metric], spread[metric] = fn()
+            emit(metric, got[metric], spread[metric])
         except Exception:  # noqa: BLE001 — emit what succeeded, report the rest
             traceback.print_exc(file=sys.stderr)
 
@@ -187,10 +195,16 @@ def main():
     run("mono_pair_latency", bench_mono)
     run("train_step_latency", bench_train_step)
 
+    def total(a, b):
+        # per-repeat sums pair the i-th samples; lengths may differ — zip stops
+        s = [x + y for x, y in zip(spread[a], spread[b])]
+        emit_name = f"total_{a.split('_')[1]}_latency"
+        emit(emit_name, got[a] + got[b], s)
+
     if "mono_pair_latency" in got and "stereo_1024_latency" in got:
-        emit("total_1024_latency", got["stereo_1024_latency"] + got["mono_pair_latency"])
+        total("stereo_1024_latency", "mono_pair_latency")
     if "mono_pair_latency" in got and "stereo_512_latency" in got:
-        emit("total_512_latency", got["stereo_512_latency"] + got["mono_pair_latency"])
+        total("stereo_512_latency", "mono_pair_latency")
     if not got:
         sys.exit(1)
 

@@ -285,15 +285,23 @@ class Trainer:
 
         if iters is None:
             iters = self.cfg.valid_iters
+        # The eval forward is jitted ONCE per `iters` value with the variables
+        # as a real argument — NOT a closure capture, which would bake the
+        # current params into the HLO and force a multi-minute recompile on
+        # every validate() call (each call sees new param values).
+        if not hasattr(self, "_val_fwd_cache"):
+            self._val_fwd_cache = {}
+        if iters not in self._val_fwd_cache:
+            self._val_fwd_cache[iters] = tpu_jit(
+                lambda v, im2, im3, m2, m3: self.model.apply(
+                    v, im2, im3, m2, m3, iters=iters, test_mode=True
+                )["disparity"]
+            )
+        fwd = self._val_fwd_cache[iters]
         variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
-        fwd = tpu_jit(
-            lambda im2, im3, m2, m3: self.model.apply(
-                variables, im2, im3, m2, m3, iters=iters, test_mode=True
-            )["disparity"]
-        )
 
         def stereo_fn(im2, im3, m2, m3):
-            return fwd(*(jnp.asarray(x) for x in (im2, im3, m2, m3)))
+            return fwd(variables, *(jnp.asarray(x) for x in (im2, im3, m2, m3)))
 
         ev = Evaluator(stereo_fn, mono_fn=mono_fn, dataset_name=dataset_name)
         res = ev.run(samples, max_samples=max_samples)

@@ -27,10 +27,20 @@ def trace(logdir: str):
 
 
 def chained_timer(
-    fn: Callable, *args, n_chain: int = 8, repeats: int = 3, const_args=()
-) -> float:
+    fn: Callable,
+    *args,
+    n_chain: int = 8,
+    repeats: int = 3,
+    const_args=(),
+    return_samples: bool = False,
+):
     """Median per-call latency of `fn(*args) -> pytree`, measured by chaining
     n_chain serial executions inside one jitted fori_loop.
+
+    With `return_samples=True` returns `(median, samples)` where `samples`
+    are the rtt-corrected per-call latencies of each repeat — the spread
+    feeds BENCH error bars (cross-session timer drift on this runtime is
+    ~±10%; per-repeat std distinguishes real deltas from noise).
 
     EVERY floating-point array argument is perturbed by a carry-dependent
     epsilon each iteration.  Perturbing only one input (the original design)
@@ -84,4 +94,8 @@ def chained_timer(
         t0 = time.perf_counter()
         float(chained(const_args, *args))
         times.append(time.perf_counter() - t0)
-    return max(float(np.median(times)) - rtt, 0.0) / n_chain
+    samples = [max(t - rtt, 0.0) / n_chain for t in times]
+    median = max(float(np.median(times)) - rtt, 0.0) / n_chain
+    if return_samples:
+        return median, samples
+    return median

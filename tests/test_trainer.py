@@ -105,6 +105,14 @@ def test_validate_best_checkpoint(trainer, rng, tmp_path):
     assert "bad 2.0" in means and np.isfinite(means["bad 2.0"])
     assert means["is_best"] == 1.0  # first validation is always the best
 
+    # A second validate() (after a param update) must reuse the jitted eval
+    # forward — params travel as a jit ARGUMENT, not a closure capture, so no
+    # retrace happens (a recompile here is multi-minute on the real runtime).
+    trainer.step(_batch(np.random.default_rng(7)))
+    trainer.validate([sample], iters=2, metric="bad 2.0")
+    fwd = trainer._val_fwd_cache[2]
+    assert fwd._cache_size() == 1, "validate retraced its eval forward"
+
 
 def test_checkpoint_roundtrip(trainer, rng):
     step_before = int(trainer.state.step)
