@@ -85,48 +85,16 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, grid], axis=1)
 
 
-def _mha(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Multi-head attention on (B, T, H, hd).
-
-    TPU: the Pallas flash-attention kernel — XLA's dot_product_attention
-    materializes the (B, H, T, T) probability matrix (240 MB f32 per ViT-L
-    layer at 518^2) and streams it through softmax: device-trace showed
-    ~1.1 ms/layer of pure softmax HBM traffic, ~26 ms of the 65 ms DAv2
-    forward.  The sequence is padded to a 512-multiple with segment-id
-    masking (padded tokens form their own segment, so real tokens never
-    attend to them); padded query rows are sliced off.
-    CPU keeps the XLA path (golden tests compare against torch there).
-    """
-    if jax.default_backend() != "tpu":
-        return jax.nn.dot_product_attention(q, k, v)
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        SegmentIds,
-        flash_attention,
-    )
-
-    b, t, h, hd = q.shape
-    # pad to a 512 multiple: 128-blocks make the kernel grid launch-bound
-    # (measured 1.56 ms vs 0.68 ms XLA at T=1408/blk=128); 512-blocks with
-    # ~12% padded tokens are the faster trade.
-    tp = -(-t // 512) * 512
-    pad = ((0, 0), (0, tp - t), (0, 0), (0, 0))
-    qt, kt, vt = (
-        jnp.pad(y, pad).transpose(0, 2, 1, 3) for y in (q, k, v)
-    )  # (B,H,Tp,hd)
-    seg = jnp.broadcast_to((jnp.arange(tp) >= t).astype(jnp.int32)[None], (b, tp))
-    bs = BlockSizes(block_q=512, block_k_major=512, block_k=512, block_b=1)
-    o = flash_attention(
-        qt, kt, vt,
-        segment_ids=SegmentIds(q=seg, kv=seg),
-        sm_scale=1.0 / math.sqrt(hd),
-        block_sizes=bs,
-    )
-    return o.transpose(0, 2, 1, 3)[:, :t]
-
-
 class Attention(nn.Module):
-    """Standard MHSA (reference dinov2_layers/attention.py)."""
+    """Standard MHSA (reference dinov2_layers/attention.py).
+
+    TPU: the custom Pallas kernel (ops/pallas/vit_attention.py) consumes the
+    fused QKV matmul's natural (B, T, 3D) output and emits (B, T, D) directly
+    — no pad-to-block-multiple, no (B,H,T,hd) transposes.  Measured (v5e,
+    ViT-L 518², T=1370): 0.17 ms/layer vs 0.35 for the stock flash kernel
+    plus ~0.27 of relayouts it needed.  CPU keeps the XLA path (golden tests
+    compare against torch there).
+    """
 
     num_heads: int
 
@@ -135,22 +103,53 @@ class Attention(nn.Module):
         b, t, d = x.shape
         hd = d // self.num_heads
         qkv = nn.Dense(3 * d, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(b, t, 3, self.num_heads, hd), 3, axis=2)
-        q, k, v = (y[:, :, 0] for y in (q, k, v))  # (B,T,H,hd)
-        o = _mha(q, k, v)
-        o = o.reshape(b, t, d)
+        if jax.default_backend() == "tpu" and hd in (64, 128):
+            from stereoanywhere_tpu.ops.pallas.vit_attention import vit_attention
+
+            o = vit_attention(qkv, self.num_heads)
+        else:
+            q, k, v = jnp.split(qkv.reshape(b, t, 3, self.num_heads, hd), 3, axis=2)
+            q, k, v = (y[:, :, 0] for y in (q, k, v))  # (B,T,H,hd)
+            o = jax.nn.dot_product_attention(q, k, v).reshape(b, t, d)
         return nn.Dense(d, name="proj")(o)
 
 
-class Mlp(nn.Module):
+class _DenseParams(nn.Module):
+    """Dense parameters with nn.Dense's exact names/init (kernel
+    lecun_normal, bias zeros), applied by the caller."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _MlpParams(nn.Module):
+    """fc1/fc2 parameter tree identical to the applied Mlp module's."""
+
     hidden: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        d = x.shape[-1]
-        x = nn.Dense(self.hidden, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(d, name="fc2")(x)
+    def __call__(self, d: int):
+        w1, b1 = _DenseParams(self.hidden, name="fc1")(d)
+        w2, b2 = _DenseParams(d, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
+
+
+class _LayerNormParams(nn.Module):
+    """LayerNorm parameters with nn.LayerNorm's names (scale ones, bias
+    zeros), applied by the caller."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return scale, bias
 
 
 class SwiGLUFFN(nn.Module):
@@ -183,16 +182,36 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
-        # (A LayerNorm optimization_barrier was tried here — the trace shows
-        # Dense matmuls fused into LN stats reduces at ~83 TF/s — but made
-        # no end-to-end difference; not worth the graph noise.)
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         if self.ffn_layer == "swiglufused":
+            h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
             ffn = SwiGLUFFN(name="mlp")(h)
+            return x + LayerScale(name="ls2")(ffn)
+
+        # LN2 + fc1 + gelu + fc2 — parameters declared with the standard
+        # module tree (norm2/mlp.fc1/mlp.fc2), applied either by the fused
+        # Pallas kernel (TPU: 0.28 vs 0.41 ms/layer for the XLA chain; the
+        # (B*T, 4*D) gelu intermediate never touches HBM and the LN/gelu
+        # elementwise stops stalling the matmul fusions) or by the
+        # equivalent inline math (CPU golden path).
+        g, bln = _LayerNormParams(name="norm2")(d)
+        w1, b1, w2, b2 = _MlpParams(int(d * self.mlp_ratio), name="mlp")(d)
+        if jax.default_backend() == "tpu" and d % 128 == 0:
+            from stereoanywhere_tpu.ops.pallas.vit_mlp import vit_mlp
+
+            ffn = vit_mlp(x, g, bln, w1, b1, w2, b2)
         else:
-            ffn = Mlp(int(d * self.mlp_ratio), name="mlp")(h)
+            xf = x.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            xc = xf - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            h = (
+                xc * jax.lax.rsqrt(var + 1e-6) * g.astype(jnp.float32)
+                + bln.astype(jnp.float32)
+            ).astype(x.dtype)
+            a = jax.nn.gelu(h @ w1 + b1, approximate=False)
+            ffn = a @ w2 + b2
         return x + LayerScale(name="ls2")(ffn)
 
 

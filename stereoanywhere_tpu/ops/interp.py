@@ -88,7 +88,10 @@ def resize_bilinear_halfpix(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     instead of its gather/conv lowering (3.05 -> ~0.4 ms for the DPT head's
     148^2 -> 518^2 x128ch resize, device trace 2026-08-19)."""
     assert x.ndim == 4, x.shape
-    for axis, out_size in ((1, out_hw[0]), (2, out_hw[1])):
+    # W-axis first: with the H matmul last, XLA's layout assignment feeds the
+    # following conv directly — H-first needed a 0.84 ms copy+pad of the
+    # 518²x128 tensor before the DPT output conv (device trace 2026-08-19).
+    for axis, out_size in ((2, out_hw[1]), (1, out_hw[0])):
         in_size = x.shape[axis]
         if in_size == out_size:
             continue

@@ -146,3 +146,47 @@ def test_lookup_impl_validation():
     pyr = CorrPyramid((vol,), 4)
     with pytest.raises(ValueError, match="unknown lookup impl"):
         lookup_corr_pyramid_pair(pyr, pyr, jnp.zeros((1, 4, 8)), impl="nope")
+
+
+def test_vit_attention_matches_xla(rng):
+    """ViT attention kernel (natural (B,T,3D) qkv layout, head-pair blocks,
+    rowsum-in-matmul softmax) vs XLA attention, incl. a non-block-multiple T
+    and a T smaller than the default block."""
+    import jax
+
+    from stereoanywhere_tpu.ops.pallas.vit_attention import vit_attention
+
+    for (b, t, h, hd, bq) in [(2, 200, 4, 64, 128), (1, 96, 2, 64, 128), (1, 300, 2, 128, None)]:
+        d = h * hd
+        qkv = jnp.asarray(rng.standard_normal((b, t, 3 * d)).astype(np.float32))
+        q, k, v = (qkv[..., i * d : (i + 1) * d].reshape(b, t, h, hd) for i in range(3))
+        ref = jax.nn.dot_product_attention(q, k, v).reshape(b, t, d)
+        got = vit_attention(qkv, h, block_q=bq, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_vit_mlp_matches_xla(rng):
+    """Fused LN+fc1+gelu+fc2 kernel vs the inline XLA math (erf-poly gelu
+    agrees with exact erf to ~1.5e-7)."""
+    import jax
+
+    from stereoanywhere_tpu.ops.pallas.vit_mlp import vit_mlp
+
+    b, t, d, hidden = 2, 200, 256, 1024
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    be = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    w1 = jnp.asarray((rng.standard_normal((d, hidden)) * 0.05).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(hidden).astype(np.float32))
+    w2 = jnp.asarray((rng.standard_normal((hidden, d)) * 0.05).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+
+    xf = x
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    hln = xc * jax.lax.rsqrt(var + 1e-6) * g + be
+    ref = jax.nn.gelu(hln @ w1 + b1, approximate=False) @ w2 + b2
+
+    got = vit_mlp(x, g, be, w1, b1, w2, b2, block_t=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def summarize(trace_dir: str, top: int) -> None:
+def summarize(trace_dir: str, top: int, by_source: bool = False) -> None:
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
     )
@@ -67,6 +67,22 @@ def summarize(trace_dir: str, top: int) -> None:
 
     print(f"trace: {path}")
     print(f"device total (sum of op spans): {grand:.2f} ms")
+    if by_source:
+        # Aggregate by originating python line; unattributed spans fall back
+        # to the op-kind prefix (name up to the first '.').  The top-level
+        # jit_* umbrella span is dropped (it double-counts its children).
+        agg: dict[str, float] = defaultdict(float)
+        acnt: dict[str, int] = defaultdict(int)
+        for name, ms in totals.items():
+            if name.startswith("jit_"):
+                continue
+            key = sources.get(name) or name.split(".")[0]
+            agg[key] += ms
+            acnt[key] += counts[name]
+        print(f"{'ms':>10}  {'n':>5}  source / op-kind")
+        for key, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{ms:10.3f}  {acnt[key]:5d}  {key}")
+        return
     print(f"{'ms':>10}  {'n':>5}  op")
     for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
         src = sources.get(name, "")
@@ -80,6 +96,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--lookup", default="auto", help="lookup_impl: auto|lagged|inline|barrel")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--by-source", action="store_true")
     ap.add_argument("--out", default="/tmp/jax_trace_model")
     ap.add_argument(
         "--dump-hlo",
@@ -134,7 +151,7 @@ def main():
     with jax.profiler.trace(args.out):
         float(fwd(*xs))
 
-    summarize(args.out, args.top)
+    summarize(args.out, args.top, by_source=args.by_source)
 
     if args.dump_hlo:
         txt = fwd.lower(*xs).compile().as_text()

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--size", type=int, default=518)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--by-source", action="store_true")
     ap.add_argument("--out", default="/tmp/jax_trace_mono")
     ap.add_argument("--dump-hlo", default="")
     args = ap.parse_args()
@@ -68,7 +69,7 @@ def main():
     with jax.profiler.trace(args.out):
         float(fwd(variables, x))
 
-    summarize(args.out, args.top)
+    summarize(args.out, args.top, by_source=args.by_source)
 
     if args.dump_hlo:
         txt = fwd.lower(variables, x).compile().as_text()
