@@ -81,7 +81,6 @@ def cmd_eval(args):
     from stereoanywhere_tpu.config import EvalConfig, StereoAnywhereConfig
     from stereoanywhere_tpu.data import fetch_dataset
     from stereoanywhere_tpu.eval.harness import DAV2_SIZES, Evaluator, eval_preset
-    from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
 
     preset = eval_preset(args.dataset)
     ec = EvalConfig(
@@ -108,20 +107,25 @@ def cmd_eval(args):
         tw, th = DAV2_SIZES.get(args.dataset, (518, 518))
 
         def mono_fn(images01, dataset):
-            b, h, w, _ = images01.shape
-            fh, fw = dav2_input_size(h, w, tw, th)
-            x = jax.image.resize(jnp.asarray(images01), (b, fh, fw, 3), "cubic")
-            d = mono_model.apply(mono_vars, imagenet_normalize(x))
-            return np.asarray(jax.image.resize(d, (b, h, w, 1), "bilinear"))
+            from stereoanywhere_tpu.models.dpt import infer_mono_depth
 
+            return np.asarray(
+                infer_mono_depth(mono_model, mono_vars, jnp.asarray(images01), tw, th)
+            )
+
+    # iscale/oscale run INSIDE the evaluator (reference test.py:169-176
+    # semantics: nearest image downscale, gt downscale + /oscale, metrics at
+    # the reduced resolution) — NOT via the dataset-level scale_factor, which
+    # is the reference's separate INTER_LINEAR mechanism
+    # (base_dataset.py:44-59) and not what the published tables use.
     ds = fetch_dataset(
         args.dataset, args.datapath, test=True, overfit=args.overfit,
-        mono=args.mono_precomputed, scale_factor=ec.iscale,
+        mono=args.mono_precomputed,
     )
     print(f"evaluating {ec.dataset}: {len(ds)} pairs")
     ev = Evaluator(
         stereo_fn, mono_fn, ec.dataset,
-        iscale=1.0, oscale=ec.oscale, pad_multiple=ec.pad_multiple,
+        iscale=ec.iscale, oscale=ec.oscale, pad_multiple=ec.pad_multiple,
         save_images_dir=args.save_images,
     )
     t0 = time.time()
@@ -291,7 +295,7 @@ def cmd_precompute_mono(args):
 
     from stereoanywhere_tpu.data import fetch_dataset
     from stereoanywhere_tpu.data.frame_utils import write_mono16
-    from stereoanywhere_tpu.models.dpt import dav2_input_size, imagenet_normalize
+    from stereoanywhere_tpu.models.dpt import infer_mono_depth
 
     mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
     assert mono_model is not None, "--mono-checkpoint required"
@@ -300,11 +304,9 @@ def cmd_precompute_mono(args):
     for i in range(len(ds)):
         s = ds[i]
         for key, img in (("im2", s["im2"]), ("im3", s["im3"])):
-            h, w, _ = img.shape
-            fh, fw = dav2_input_size(h, w)
-            x = jax.image.resize(jnp.asarray(img[None]), (1, fh, fw, 3), "cubic")
-            d = mono_model.apply(mono_vars, imagenet_normalize(x))
-            d = np.asarray(jax.image.resize(d, (1, h, w, 1), "bilinear"))[0, ..., 0]
+            d = np.asarray(
+                infer_mono_depth(mono_model, mono_vars, jnp.asarray(img[None]))
+            )[0, ..., 0]
             d = (d - d.min()) / max(d.max() - d.min(), 1e-6)
             out = os.path.join(args.outdir, f"{i:06d}_{key}_{tag}.png")
             os.makedirs(args.outdir, exist_ok=True)

@@ -1,13 +1,16 @@
 """Benchmark evaluation harness — the reference test.py protocol, library-fied.
 
 Protocol parity (reference test.py:160-274):
-  1. optional input downscale by `iscale` (bilinear images / nearest gt,
-     gt divided by iscale),
+  1. optional image downscale by `iscale` (NEAREST — F.interpolate's default
+     mode, test.py:170-171) and gt/valid/maskocc downscale by `oscale`
+     (nearest, gt values divided by oscale, test.py:174-176; metrics run at
+     the reduced resolution),
   2. mono inference at per-dataset DAv2 input sizes (reference test.py:192-195),
   3. joint min-max normalization of the mono pair,
   4. centered replicate pad to a multiple of 32,
-  5. stereo forward (iters=32, test_mode),
-  6. unpad, optional output rescale by `oscale` (nearest, values scaled),
+  5. stereo forward (iters=32, test_mode), disparity = -flow,
+  6. unpad; only when iscale/oscale != 1, nearest-resize the prediction to
+     the gt grid with values scaled by iscale/oscale (test.py:241-243),
   7. numpy guided_metrics per sample, accumulated mean/std over --tries.
 
 Static-shape note: the reference pads each image independently to the next
@@ -200,14 +203,32 @@ class Evaluator:
         gt = sample["gt"][None]
         valid = sample["validgt"][None]
         maskocc = sample.get("maskocc")
-        if maskocc is not None:
-            maskocc = maskocc[None]
+        maskocc = np.zeros_like(gt) if maskocc is None else maskocc[None]
 
         h0, w0 = im2.shape[1:3]
         if self.iscale != 1.0:
-            hs, ws = int(h0 / self.iscale), int(w0 / self.iscale)
-            im2 = resize_np(im2, (hs, ws))
-            im3 = resize_np(im3, (hs, ws))
+            # reference test.py:170-171: F.interpolate(scale_factor=1/iscale)
+            # with the DEFAULT mode — nearest, floor(in*scale) sizes.
+            hs, ws = int(h0 * (1.0 / self.iscale)), int(w0 * (1.0 / self.iscale))
+            im2 = resize_np(im2, (hs, ws), nearest=True)
+            im3 = resize_np(im3, (hs, ws), nearest=True)
+        if self.oscale != 1.0:
+            # reference test.py:174-176: gt/valid/maskocc nearest-downscaled
+            # (gt values divided by oscale); metrics run at THIS resolution.
+            ho, wo = int(h0 * (1.0 / self.oscale)), int(w0 * (1.0 / self.oscale))
+            gt = resize_np(gt, (ho, wo), nearest=True) / self.oscale
+            valid = resize_np(valid, (ho, wo), nearest=True)
+            maskocc = resize_np(maskocc, (ho, wo), nearest=True)
+
+        if float(gt.max()) == 0.0:
+            # no labeled points: metrics of an all-zero prediction
+            # (reference test.py:182-187)
+            m = guided_metrics(
+                np.zeros_like(gt)[0, ..., 0], gt[0, ..., 0], valid[0, ..., 0],
+                maskocc[0, ..., 0],
+            )
+            m.pop("errormap", None)
+            return m
 
         # mono branch
         if self.mono_fn is not None:
@@ -216,7 +237,11 @@ class Evaluator:
         else:
             mono2 = resize_np(sample["im2_mono"][None], im2.shape[1:3])
             mono3 = resize_np(sample["im3_mono"][None], im2.shape[1:3])
-        mono2, mono3 = joint_minmax_normalize([jnp.asarray(mono2), jnp.asarray(mono3)])
+        # eps=0: the eval protocol normalizes with a bare (x-min)/(max-min)
+        # (reference test.py:198), unlike the model-internal normalize
+        mono2, mono3 = joint_minmax_normalize(
+            [jnp.asarray(mono2), jnp.asarray(mono3)], eps=0.0
+        )
         mono2, mono3 = np.asarray(mono2), np.asarray(mono3)
 
         if self.bucketer is not None:
@@ -234,12 +259,18 @@ class Evaluator:
         disp = np.asarray(self.stereo_fn(im2p, im3p, mono2p, mono3p))
         disp = unpad(disp, pads)
 
-        if self.oscale != 1.0 or disp.shape[1:3] != (h0, w0):
-            # nearest + value rescale (reference test.py:229-240)
-            disp = resize_np(disp, (h0, w0), nearest=True) * (w0 / disp.shape[2])
+        if self.iscale != 1.0 and self.iscale / self.oscale != 1.0:
+            # reference test.py:241-243: only when the prediction and gt
+            # resolutions differ — nearest resize to the gt grid, disparity
+            # values scaled by iscale/oscale.  With iscale == oscale (every
+            # published table) the prediction stays at the reduced
+            # resolution and the metrics run there.
+            disp = resize_np(disp, gt.shape[1:3], nearest=True) * (
+                self.iscale / self.oscale
+            )
 
         m = guided_metrics(disp[0, ..., 0], gt[0, ..., 0], valid[0, ..., 0],
-                           maskocc[0, ..., 0] if maskocc is not None else None)
+                           maskocc[0, ..., 0])
         m.pop("errormap", None)
 
         if self.save_images_dir:

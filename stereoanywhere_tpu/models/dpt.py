@@ -170,16 +170,18 @@ def dav2_input_size(h: int, w: int, input_size_width: int = 518, input_size_heig
 
 def infer_mono_depth(model: DepthAnythingV2, variables, image01: jax.Array, input_size_width: int = 518, input_size_height: int = 518) -> jax.Array:
     """End-to-end `infer_image` parity (reference dpt.py:188-238): bicubic
-    resize to the lower-bound multiple-of-14 size, ImageNet-normalize, run,
-    bilinear-resize back to the input resolution.
-
-    NOTE: torch's bicubic uses a=-0.75; `jax.image.resize` cubic uses the
-    Keys kernel a=-0.5 — a sub-1e-2 pixel-value difference on natural images,
-    washed out by the min-max normalization downstream.
-    """
+    (a=-0.75, half-pixel, non-antialiased — exact torch F.interpolate
+    semantics via constant interp-matrix matmuls) resize to the lower-bound
+    multiple-of-14 size, ImageNet-normalize, run, bilinear-resize back to
+    the input resolution (same matrix form)."""
     b, h, w, _ = image01.shape
     fh, fw = dav2_input_size(h, w, input_size_width, input_size_height)
-    x = jax.image.resize(image01, (b, fh, fw, 3), "cubic")
+    from stereoanywhere_tpu.ops.interp import (
+        resize_bicubic_halfpix,
+        resize_bilinear_halfpix,
+    )
+
+    x = resize_bicubic_halfpix(image01, (fh, fw))
     x = imagenet_normalize(x)
     depth = model.apply(variables, x)
-    return jax.image.resize(depth, (b, h, w, 1), "bilinear")
+    return resize_bilinear_halfpix(depth, (h, w))

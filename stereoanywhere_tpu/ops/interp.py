@@ -82,11 +82,11 @@ def _interp_matrix_halfpix(in_size: int, out_size: int) -> jax.Array:
 
 
 def resize_bilinear_halfpix(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """NHWC bilinear UPSAMPLE with half-pixel centers (torch
-    align_corners=False), as two constant-matrix matmuls — identical values
-    to jax.image.resize(..., 'bilinear') for upsampling, but on the MXU
-    instead of its gather/conv lowering (3.05 -> ~0.4 ms for the DPT head's
-    148^2 -> 518^2 x128ch resize, device trace 2026-08-19)."""
+    """NHWC bilinear resize with half-pixel centers (torch `F.interpolate
+    (mode='bilinear', align_corners=False)` — torch does NOT anti-alias, so
+    the 2-tap matrix is exact for downsampling too), as two constant-matrix
+    matmuls on the MXU instead of the gather/conv lowering (3.05 -> ~0.4 ms
+    for the DPT head's 148^2 -> 518^2 x128ch resize, device trace)."""
     assert x.ndim == 4, x.shape
     # W-axis first: with the H matmul last, XLA's layout assignment feeds the
     # following conv directly — H-first needed a 0.84 ms copy+pad of the
@@ -95,8 +95,48 @@ def resize_bilinear_halfpix(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
         in_size = x.shape[axis]
         if in_size == out_size:
             continue
-        assert out_size >= in_size, "upsampling only (downsampling needs anti-aliasing)"
         m = _interp_matrix_halfpix(in_size, out_size).astype(x.dtype)
+        y = jnp.tensordot(x, m, axes=[[axis], [1]])
+        x = jnp.moveaxis(y, -1, axis)
+    return x
+
+
+def _interp_matrix_bicubic_halfpix(in_size: int, out_size: int) -> jax.Array:
+    """(out,in) half-pixel bicubic (a=-0.75) interpolation matrix — torch
+    `F.interpolate(mode='bicubic', align_corners=False)` semantics with
+    border taps clamped (exact for upsampling AND downsampling; torch does
+    not anti-alias)."""
+    src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (in_size / out_size) - 0.5
+    i0 = jnp.floor(src)
+    t = src - i0
+    a = -0.75
+    rows = jnp.zeros((out_size, in_size), jnp.float32)
+    eye = jnp.eye(in_size, dtype=jnp.float32)
+    for k in range(-1, 3):
+        d = jnp.abs(t - k)
+        d2, d3 = d * d, d * d * d
+        w = jnp.where(
+            d <= 1,
+            (a + 2) * d3 - (a + 3) * d2 + 1,
+            jnp.where(d < 2, a * d3 - 5 * a * d2 + 8 * a * d - 4 * a, 0.0),
+        )
+        idx = jnp.clip(i0.astype(jnp.int32) + k, 0, in_size - 1)
+        rows = rows + eye[idx] * w[:, None]
+    return rows
+
+
+def resize_bicubic_halfpix(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """NHWC bicubic resize, torch a=-0.75 half-pixel semantics, as two
+    constant-matrix matmuls.  Used for DAv2 `infer_image` input-resize parity
+    (reference dpt.py:230: F.interpolate mode='bicubic'); jax.image.resize
+    'cubic' uses the Keys a=-0.5 kernel and anti-aliases downsampling — both
+    deviations from torch."""
+    assert x.ndim == 4, x.shape
+    for axis, out_size in ((2, out_hw[1]), (1, out_hw[0])):
+        in_size = x.shape[axis]
+        if in_size == out_size:
+            continue
+        m = _interp_matrix_bicubic_halfpix(in_size, out_size).astype(x.dtype)
         y = jnp.tensordot(x, m, axes=[[axis], [1]])
         x = jnp.moveaxis(y, -1, axis)
     return x
