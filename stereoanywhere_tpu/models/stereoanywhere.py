@@ -438,6 +438,13 @@ class StereoAnywhere(nn.Module):
             n_downsample=cfg.n_downsample,
             corr_radius=cfg.corr_radius,
             compute_dtype=cfg.compute_dtype,
+            # Pallas fused ConvGRU (ops/pallas/gru_fused.py): OFF — standalone
+            # it is 2.2x the XLA step (0.97 vs 2.14 ms at the 1024² level-0
+            # shapes) but IN-SCAN the custom-call layout boundary makes XLA
+            # re-lay-out every neighboring conv: loop 138 -> 154.5 ms (all
+            # levels fused) / 194.4 ms (level-0 only), device traces
+            # 2026-08-20.  Kept for serving paths that may isolate the GRU.
+            fused_gru=False,
         )
         inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)

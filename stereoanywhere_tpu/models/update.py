@@ -29,18 +29,37 @@ class ConvGRU(nn.Module):
 
     hidden_dim: int
     kernel_size: int = 3
+    fused: bool = False  # Pallas fused kernels (TPU inference path only)
 
     @nn.compact
     def __call__(self, h, cz, cr, cq, *x_list):
         k, p = self.kernel_size, self.kernel_size // 2
         x = jnp.concatenate(x_list, axis=-1)
-        hx = jnp.concatenate([h, x], axis=-1)
 
-        kz, bz = ParamConv(self.hidden_dim, k, name="convz")(hx.shape[-1])
-        kr, br = ParamConv(self.hidden_dim, k, name="convr")(hx.shape[-1])
+        kz, bz = ParamConv(self.hidden_dim, k, name="convz")(h.shape[-1] + x.shape[-1])
+        kr, br = ParamConv(self.hidden_dim, k, name="convr")(h.shape[-1] + x.shape[-1])
         kq, bq = ParamConv(self.hidden_dim, k, name="convq")(h.shape[-1] + x.shape[-1])
 
-        def conv(inp, kernel, bias):
+        if self.fused and k == 3:
+            from stereoanywhere_tpu.ops.pallas.gru_fused import (
+                gru_fused,
+                gru_fused_supported,
+            )
+
+            if gru_fused_supported(h):
+                # 0.97 vs 2.14 ms/step at the 1024² level-0 shapes (device
+                # measurement, tools/profile_gru_fused.py): the [h,x] concat
+                # never materializes, conv pads live in VMEM scratch, gates
+                # fuse into the conv accumulator.  No VJP — the caller gates
+                # this to test_mode.
+                return gru_fused(
+                    h, x, cz, cr, cq,
+                    jnp.concatenate([kz, kr], axis=-1),
+                    jnp.concatenate([bz, br]),
+                    kq, bq,
+                )
+
+        def conv(inp, kernel, bias=None):
             y = jax.lax.conv_general_dilated(
                 inp,
                 kernel.astype(inp.dtype),
@@ -48,16 +67,27 @@ class ConvGRU(nn.Module):
                 padding=((p, p), (p, p)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            return y + bias.astype(y.dtype)
+            return y if bias is None else y + bias.astype(y.dtype)
 
-        zr = conv(hx, jnp.concatenate([kz, kr], axis=-1), jnp.concatenate([bz, br]))
-        z = jax.nn.sigmoid(zr[..., : self.hidden_dim] + cz)
-        r = jax.nn.sigmoid(zr[..., self.hidden_dim :] + cr)
-        q = jnp.tanh(conv(jnp.concatenate([r * h, x], axis=-1), kq, bq) + cq)
+        # Split-operand form of conv([h, x]) / conv([r*h, x]): the h/rh and x
+        # channel slices get separate convs whose outputs add — identical
+        # math (conv is linear in channels), but the [h, x] concats never
+        # materialize and the two x-halves (z/r gates and q) share ONE conv.
+        ch = h.shape[-1]
+        kx_all = jnp.concatenate([kz[:, :, ch:], kr[:, :, ch:], kq[:, :, ch:]], axis=-1)
+        x_all = conv(x, kx_all)
+        zr_h = conv(h, jnp.concatenate([kz[:, :, :ch], kr[:, :, :ch]], axis=-1))
+        hd = self.hidden_dim
+        bzr = jnp.concatenate([bz, br])
+        zr = zr_h + x_all[..., : 2 * hd] + bzr.astype(zr_h.dtype)
+        z = jax.nn.sigmoid(zr[..., :hd] + cz)
+        r = jax.nn.sigmoid(zr[..., hd:] + cr)
+        q_h = conv(r * h, kq[:, :, :ch], bq)
+        q = jnp.tanh(q_h + x_all[..., 2 * hd :] + cq)
         return (1 - z) * h + z * q
 
 
-def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion):
+def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion, fused=False):
     """Shared 3-level ConvGRU cascade with cross-scale pooling/interp
     (reference update.py:164-183) — the common body of MultiUpdateBlock,
     MultiUpdateScalerBlock and RefinementStep.  Must be called inside an
@@ -66,6 +96,9 @@ def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion):
     depend on net, so computing it before or after gru16 is equivalent."""
     hd = hidden_dims
     net = list(net)
+    # fused only at the 1/4 level: it carries ~80% of the GRU FLOPs; at the
+    # small levels the Pallas custom-call layout boundary costs XLA more in
+    # neighbor relayouts than the kernel saves
     if n_gru_layers == 3:
         net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
     if n_gru_layers >= 2:
@@ -76,11 +109,11 @@ def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion):
         else:
             net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
     if n_gru_layers > 1:
-        net[0] = ConvGRU(hd[2], name="gru08")(
+        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(
             net[0], *inp[0], motion, interp_like(net[1], net[0])
         )
     else:
-        net[0] = ConvGRU(hd[2], name="gru08")(net[0], *inp[0], motion)
+        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(net[0], *inp[0], motion)
     return net
 
 
@@ -269,6 +302,7 @@ class RefinementStep(nn.Module):
     # lookup_wls carries the logical level widths.
     lookup_impl: str = "lagged"
     lookup_wls: tuple = ()
+    fused_gru: bool = False  # Pallas fused ConvGRU (TPU test-mode only)
 
     @nn.compact
     def __call__(self, carry, consts):
@@ -305,7 +339,10 @@ class RefinementStep(nn.Module):
         flow2 = jnp.concatenate([flow_x, jnp.zeros_like(flow_x)], axis=-1).astype(cdt)
 
         motion = MotionEncoder(name="encoder")(flow2, stereo_corr, mono_corr)
-        net = gru_cascade(self.hidden_dims, self.n_gru_layers, net, inp, motion)
+        net = gru_cascade(
+            self.hidden_dims, self.n_gru_layers, net, inp, motion,
+            fused=self.fused_gru,
+        )
 
         delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
 

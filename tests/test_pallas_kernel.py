@@ -190,3 +190,36 @@ def test_vit_mlp_matches_xla(rng):
 
     got = vit_mlp(x, g, be, w1, b1, w2, b2, block_t=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_gru_fused_matches_xla(rng):
+    """Fused ConvGRU kernels (split h/x weights, VMEM-border conv padding,
+    band halo DMA) vs the inline XLA GRU math — incl. edge bands."""
+    import jax
+
+    from stereoanywhere_tpu.ops.pallas.gru_fused import gru_fused
+
+    b, h, w, ch, cx = 1, 16, 24, 8, 16
+    arr = lambda *s, sc=1.0: jnp.asarray((rng.standard_normal(s) * sc).astype(np.float32))  # noqa: E731
+    hid, x = arr(b, h, w, ch), arr(b, h, w, cx)
+    cz, cr, cq = arr(b, h, w, ch), arr(b, h, w, ch), arr(b, h, w, ch)
+    wzr, bzr = arr(3, 3, ch + cx, 2 * ch, sc=0.05), arr(2 * ch)
+    wq, bq = arr(3, 3, ch + cx, ch, sc=0.05), arr(ch)
+
+    hx = jnp.concatenate([hid, x], axis=-1)
+
+    def conv(inp, kern, bias):
+        y = jax.lax.conv_general_dilated(
+            inp, kern, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias
+
+    zr = conv(hx, wzr, bzr)
+    z = jax.nn.sigmoid(zr[..., :ch] + cz)
+    r = jax.nn.sigmoid(zr[..., ch:] + cr)
+    q = jnp.tanh(conv(jnp.concatenate([r * hid, x], axis=-1), wq, bq) + cq)
+    ref = (1 - z) * hid + z * q
+
+    got = gru_fused(hid, x, cz, cr, cq, wzr, bzr, wq, bq, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
