@@ -18,7 +18,12 @@ from flax import linen as nn
 
 from stereoanywhere_tpu.config import MonoConfig
 from stereoanywhere_tpu.models.dinov2 import VIT_CONFIGS, DinoVisionTransformer
-from stereoanywhere_tpu.models.layers import Conv, ConvTransposeTorch
+from stereoanywhere_tpu.models.layers import (
+    Conv,
+    ConvTransposeTorch,
+    ParamConv,
+    conv_small_cout_packed,
+)
 from stereoanywhere_tpu.ops.interp import (
     resize_bilinear_align_corners,
     resize_bilinear_halfpix,
@@ -65,6 +70,35 @@ class FeatureFusionBlock(nn.Module):
         return Conv(self.features, 1, 1, 0, name="out_conv")(x)
 
 
+def _output_convs(out, k20, b20, k22, b22, packed: bool, pack: int = 4):
+    """The DPT head's final relu(1x1(relu(3x3(x)))) (reference dpt.py:60-66).
+
+    packed=True runs both convs column-packed (layers.conv_small_cout_packed;
+    the 1x1 consumes the packed layout via block-diagonal weights) — exact
+    same sums, 128-lane wide; the plain path keeps CPU/golden simplicity.
+    """
+    b, _, wfull, _ = out.shape
+    if not packed:
+        y = jax.lax.conv_general_dilated(
+            out, k20.astype(out.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b20.astype(out.dtype)
+        y = jax.nn.relu(y)
+        z = jnp.einsum("bhwc,co->bhwo", y, k22[0, 0].astype(y.dtype)) + b22.astype(
+            y.dtype
+        )
+        return jax.nn.relu(z)
+    co = k20.shape[-1]
+    y = jax.nn.relu(conv_small_cout_packed(out, k20, b20, pack=pack))
+    w22 = k22[0, 0, :, 0]  # (co,)
+    wbd = jnp.zeros((pack * co, pack), y.dtype)
+    for s in range(pack):
+        wbd = wbd.at[s * co : (s + 1) * co, s].set(w22.astype(y.dtype))
+    zp = y @ wbd + b22.astype(y.dtype)  # (B, H, wq, pack)
+    z = zp.reshape(b, zp.shape[1], zp.shape[2] * pack)[:, :, :wfull, None]
+    return jax.nn.relu(z)
+
+
 class DPTHead(nn.Module):
     """Reference dpt.py:38-152."""
 
@@ -104,10 +138,15 @@ class DPTHead(nn.Module):
         # interp-matrix matmuls — same values as jax.image.resize 'bilinear',
         # which lowered to a 3 ms conv/pad chain on v5e (ops/interp.py).
         out = resize_bilinear_halfpix(out, (patch_h * 14, patch_w * 14))
-        out = Conv(32, 3, 1, 1, name="scratch_output_conv2_0")(out)
-        out = jax.nn.relu(out)
-        out = Conv(1, 1, 1, 0, name="scratch_output_conv2_2")(out)
-        return jax.nn.relu(out)
+        # Output convs (reference dpt.py:60-66): 3x3 f/2->32 then 1x1 32->1.
+        # 32 and 1 output channels fill a fraction of the MXU's 128 lanes; on
+        # accelerators both run column-PACKED (4 output columns in the lane
+        # axis — layers.conv_small_cout_packed, exact same sums): 1.31 ms ->
+        # ~0.3 at 518^2 on v5e.  Param tree identical to the plain convs.
+        k20, b20 = ParamConv(32, 3, name="scratch_output_conv2_0")(out.shape[-1])
+        k22, b22 = ParamConv(1, 1, name="scratch_output_conv2_2")(32)
+        packed = jax.default_backend() != "cpu"
+        return _output_convs(out, k20, b20, k22, b22, packed=packed)
 
 
 class DepthAnythingV2(nn.Module):

@@ -212,6 +212,61 @@ def paired_conv_apply(
     return y
 
 
+def conv_small_cout_packed(
+    x: jax.Array,
+    kernel: jax.Array,
+    bias: jax.Array | None,
+    pack: int = 4,
+    padding: int = 1,
+) -> jax.Array:
+    """Stride-1 conv whose OUTPUT channel count is tiny, applied with `pack`
+    adjacent output columns packed into the lane axis.
+
+    A 3x3 conv with Cout=32 fills only 32 of the MXU's 128 output lanes —
+    the DPT head's scratch_output_conv2_0 (128->32 at 518^2) ran at 30 TF/s
+    incl. a 0.42 ms relayout XLA emitted for its odd lowering (device trace,
+    v5e).  Packing 4 output columns widens the kernel to (kh, kw+pack-1) at
+    W-stride `pack` with output channels (pack*Cout): column group w' emits
+    the original columns pack*w'+s as channel blocks s.  The widened kernel
+    holds the original taps shifted by s and structural zeros elsewhere, so
+    the sums are EXACTLY the original conv's (zeros are exact in any float
+    format); FLOPs grow (kw+pack-1)/kw but lane utilization grows pack-fold.
+    Measured: 1.31 ms -> ~0.3 ms for the head's output convs.
+
+    x: (B, H, W, Cin); kernel: (kh, kw, Cin, Cout), symmetric torch padding.
+    Returns (B, H, W, pack*Cout) column-packed output — `unpack_columns`
+    restores (B, H, W, Cout); or feed a following 1x1 conv directly in the
+    packed layout (block-diagonal weights) to stay wide.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, _, co = kernel.shape
+    wq = -(-w // pack)
+    kwide = kw + pack - 1
+    kp = jnp.zeros((kh, kwide, cin, pack, co), kernel.dtype)
+    for s in range(pack):
+        kp = kp.at[:, s : s + kw, :, s, :].set(kernel)
+    kp = kp.reshape(kh, kwide, cin, pack * co)
+    # last packed column group reads up to col pack*(wq-1)-padding+kwide-1
+    pad_r = pack * (wq - 1) - padding + kwide - w
+    y = jax.lax.conv_general_dilated(
+        x,
+        kp.astype(x.dtype),
+        window_strides=(1, pack),
+        padding=((padding, padding), (padding, pad_r)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H, wq, pack*co)
+    if bias is not None:
+        y = y + jnp.tile(bias, pack).astype(y.dtype)
+    return y
+
+
+def unpack_columns(y: jax.Array, w: int, co: int) -> jax.Array:
+    """(B, H, wq, pack*co) column-packed -> (B, H, w, co)."""
+    b, h, wq, pc = y.shape
+    pack = pc // co
+    return y.reshape(b, h, wq * pack, co)[:, :, :w, :]
+
+
 class SmallCinConv(nn.Module):
     """Conv whose INPUT channel count is tiny (2-4), lowered to explicit
     im2col (conv_general_dilated_patches) + MXU matmul on accelerators.

@@ -95,3 +95,62 @@ def normalized_scale_and_shift(
     scale = jnp.where(det != 0, (a11 * b0 - a01 * b1) / safe, 0.0)
     shift = jnp.where(det != 0, (-a01 * b0 + a00 * b1) / safe, 0.0)
     return scale.reshape(b, 1, 1, 1), shift.reshape(b, 1, 1, 1)
+
+
+def _masked_quantile(v: jax.Array, mask: jax.Array, q: float) -> jax.Array:
+    """torch.quantile semantics (linear interpolation between order
+    statistics) over the masked subset, per batch row.  v, mask: (B, N)."""
+    big = jnp.asarray(jnp.finfo(v.dtype).max, v.dtype)
+    s = jnp.sort(jnp.where(mask, v, big), axis=1)
+    n = jnp.sum(mask, axis=1).astype(jnp.float32)  # (B,)
+    pos = q * (n - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = (pos - lo.astype(jnp.float32)).astype(v.dtype)
+    vlo = jnp.take_along_axis(s, lo[:, None], axis=1)[:, 0]
+    vhi = jnp.take_along_axis(s, hi[:, None], axis=1)[:, 0]
+    return vlo * (1 - frac) + vhi * frac
+
+
+def _masked_median_torch(v: jax.Array, mask: jax.Array) -> jax.Array:
+    """torch.median semantics: the LOWER middle order statistic (not the
+    mean of the two central elements for even counts)."""
+    big = jnp.asarray(jnp.finfo(v.dtype).max, v.dtype)
+    s = jnp.sort(jnp.where(mask, v, big), axis=1)
+    n = jnp.sum(mask, axis=1)
+    idx = (n - 1) // 2
+    return jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+
+
+def naive_scale_shift(
+    mde: jax.Array,
+    disp: jax.Array,
+    conf: jax.Array,
+    conf_th: float = 0.5,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantile-anchored scale/shift (reference utils/utils.py:386-410):
+    scale = (q90(disp) - median(disp)) / (q90(mde) - median(mde)) over the
+    conf>th subset, shift = median(disp) - scale*median(mde).
+
+    The reference's per-sample Python loop with boolean indexing becomes a
+    batched masked sort — jittable, static shapes.  torch.quantile's linear
+    rank interpolation and torch.median's lower-middle convention are both
+    reproduced exactly.  Returns (scale, shift) shaped (B,1,1,1).
+    """
+    b = mde.shape[0]
+    m = mde.reshape(b, -1).astype(jnp.float32)
+    d = disp.reshape(b, -1).astype(jnp.float32)
+    c = conf.reshape(b, -1).astype(jnp.float32)
+    mask = c > conf_th
+
+    m90 = _masked_quantile(m, mask, 0.9)
+    mmed = _masked_median_torch(m, mask)
+    d90 = _masked_quantile(d, mask, 0.9)
+    dmed = _masked_median_torch(d, mask)
+
+    scale = (d90 - dmed) / (m90 - mmed)
+    shift = dmed - scale * mmed
+    return (
+        scale.reshape(b, 1, 1, 1).astype(mde.dtype),
+        shift.reshape(b, 1, 1, 1).astype(mde.dtype),
+    )

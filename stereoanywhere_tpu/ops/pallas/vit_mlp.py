@@ -1,8 +1,15 @@
 """Pallas TPU fused transformer-MLP for the DAv2 ViT.
 
 Computes  partials[q] = gelu(LN(x) @ W1[:, q] + b1[q]) @ W2[q, :]
-in one kernel (grid = hidden-quarters x token-blocks); the caller sums the
-quarter partials and applies bias2/LayerScale/residual (XLA fuses that).
+in one kernel (grid = hidden-splits x token-blocks); the caller sums the
+split partials and applies bias2/LayerScale/residual (XLA fuses that).
+
+Hidden-split count trades HBM partial traffic (n_splits x (BT, D) f32
+written + re-read by the sum) against per-step VMEM weight residency
+(W1+W2 slabs, 16.8/n_splits MB bf16).  Measured at ViT-L 518² (v5e,
+chained timer): quarters 0.302 ms/layer, HALVES 0.2545 (8.4 MB of weight
+slabs still fit beside the token/intermediate blocks), vs 0.242 pure-MXU
+floor — halves are the default.
 
 Why fused (device traces, v5e, ViT-L 518², T=1370, bf16):
 - XLA runs the transformer Dense stack at ~140 TF/s against a 197 bf16
@@ -77,7 +84,7 @@ def vit_mlp(
     w2: jax.Array,
     b2: jax.Array,
     block_t: int = 256,
-    n_quarters: int = 4,
+    n_quarters: int = 2,
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:

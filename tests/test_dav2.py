@@ -101,3 +101,38 @@ def test_dav2_pos_embed_interpolation(torch_dav2, rng):
     assert diff.max() / scale < 5e-3, (
         f"pos-embed path mismatch: max rel {diff.max()/scale:.5f}"
     )
+
+
+@pytest.mark.slow
+def test_dav2_golden_forward_vitl(rng):
+    """Golden parity at the SHIPPED vitl scale (reduced resolution).
+
+    vits covers the graph shape; vitl differs in depth/width/head count and
+    — critically — the intermediate layer indices (4,11,17,23) and DPT
+    feature widths (reference dpt.py:166-171), which the vits test never
+    exercises.  Random-init torch reference vs converted jax forward at
+    84x84 (the math is resolution-independent; 84 keeps the 24-layer CPU
+    forward in seconds)."""
+    dpt = _load_reference_dav2()
+    torch.manual_seed(1)
+    model = dpt.DepthAnythingV2(
+        encoder="vitl", features=256, out_channels=[256, 512, 1024, 1024]
+    )
+    model.eval()
+    state = {k: v.detach().float().numpy() for k, v in model.state_dict().items()}
+    variables = convert_dav2_checkpoint(state)
+
+    h = w = 14 * 6
+    x = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    ours_model = DepthAnythingV2(MonoConfig.for_encoder("vitl"))
+    ours = np.asarray(ours_model.apply(variables, jnp.asarray(x)))[..., 0]
+
+    diff = np.abs(ours - ref)
+    scale = max(np.abs(ref).max(), 1e-3)
+    assert diff.max() / scale < 2e-3, (
+        f"vitl golden mismatch: max {diff.max():.5f} rel {diff.max()/scale:.5f} "
+        f"(ref range {ref.min():.3f}..{ref.max():.3f})"
+    )

@@ -219,3 +219,76 @@ def test_convert_cli_roundtrip(tmp_path):
     assert len(flat_r) == len(flat_d) and len(flat_r) > 50
     for a, b in zip(flat_r, flat_d):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_conv_small_cout_packed_exact(rng):
+    """Column-packed low-Cout conv (models/layers.py conv_small_cout_packed,
+    the DPT-head output-conv lowering) is EXACTLY the plain conv — the
+    widened kernel only adds structural zeros."""
+    from stereoanywhere_tpu.models.layers import (
+        conv_small_cout_packed,
+        unpack_columns,
+    )
+
+    for (h, w, cin, co, k, pack) in [(9, 37, 16, 8, 3, 4), (6, 24, 8, 4, 3, 2),
+                                     (7, 518 // 7, 12, 5, 3, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, cin)).astype(np.float32))
+        kern = jnp.asarray(
+            rng.standard_normal((k, k, cin, co)).astype(np.float32)
+        )
+        bias = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        got = unpack_columns(
+            conv_small_cout_packed(x, kern, bias, pack=pack, padding=k // 2), w, co
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+
+def test_dpt_output_convs_packed_matches_plain(rng):
+    """The DPT head's packed output-conv path (incl. the block-diagonal 1x1
+    consuming the packed layout) == the plain path."""
+    from stereoanywhere_tpu.models.dpt import _output_convs
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 53, 24)).astype(np.float32))
+    k20 = jnp.asarray(rng.standard_normal((3, 3, 24, 32)).astype(np.float32))
+    b20 = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+    k22 = jnp.asarray(rng.standard_normal((1, 1, 32, 1)).astype(np.float32))
+    b22 = jnp.asarray(rng.standard_normal((1,)).astype(np.float32))
+    plain = np.asarray(_output_convs(x, k20, b20, k22, b22, packed=False))
+    packed = np.asarray(_output_convs(x, k20, b20, k22, b22, packed=True))
+    # identical sums up to f32 accumulation order (the packed contraction
+    # reduces over cin*(kw+pack-1) in one pass)
+    np.testing.assert_allclose(packed, plain, rtol=1e-5, atol=3e-4)
+
+
+def test_naive_scale_shift_golden(rng):
+    """ops/lsq.naive_scale_shift vs the reference's per-sample loop
+    (reference utils/utils.py:386-410) — incl. torch.quantile's linear rank
+    interpolation and torch.median's lower-middle convention."""
+    from stereoanywhere_tpu.ops.lsq import naive_scale_shift
+
+    mde = rng.uniform(0, 1, (3, 1, 7, 11)).astype(np.float32)
+    disp = (mde * 3.7 + 0.5 + rng.normal(0, 0.05, mde.shape)).astype(np.float32)
+    conf = rng.uniform(0, 1, mde.shape).astype(np.float32)
+
+    t_mde, t_disp, t_conf = map(torch.from_numpy, (mde, disp, conf))
+    want_scale = np.zeros((3,), np.float32)
+    want_shift = np.zeros((3,), np.float32)
+    for b in range(3):
+        m = t_mde[b][t_conf[b] > 0.5]
+        d = t_disp[b][t_conf[b] > 0.5]
+        s = (torch.quantile(d, 0.9) - d.median()) / (torch.quantile(m, 0.9) - m.median())
+        want_scale[b] = s
+        want_shift[b] = d.median() - s * m.median()
+
+    # ours takes NHWC-like; layout-free (stats over all non-batch axes)
+    scale, shift = naive_scale_shift(
+        jnp.asarray(mde.transpose(0, 2, 3, 1)),
+        jnp.asarray(disp.transpose(0, 2, 3, 1)),
+        jnp.asarray(conf.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(scale)[:, 0, 0, 0], want_scale, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(shift)[:, 0, 0, 0], want_shift, rtol=1e-4, atol=1e-5)
