@@ -148,7 +148,23 @@ class ContextEncoder(nn.Module):
         d = self.downsample
         kw = dict(use_running_average=not train)
 
-        x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
+        if x.shape[-1] == 1:
+            # The model feeds cnet the mono depth REPLICATED to 3 channels
+            # (reference stereoanywhere.py:116).  conv over identical
+            # channels == conv of the Cin-summed kernel over ONE channel —
+            # exact, and 3x less contraction work on the full-res 7x7.
+            # Params stay (7,7,3,64) for the converter.
+            k1, b1 = ParamConv(64, 7, name="conv1")(3)
+            s1 = 1 + (d > 2)
+            x = jax.lax.conv_general_dilated(
+                x,
+                jnp.sum(k1, axis=2, keepdims=True).astype(x.dtype),
+                (s1, s1),
+                ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b1.astype(x.dtype)
+        else:
+            x = Conv(64, 7, 1 + (d > 2), 3, name="conv1")(x)
         x = BatchNorm(name="norm1")(x, **kw) if self.norm == "batch" else x
         x = jax.nn.relu(x)
 

@@ -172,10 +172,14 @@ class StereoAnywhere(nn.Module):
         # step (reference train.py:245), so BatchNorm always normalizes with
         # running stats; batch-stat mode exists only behind freeze_bn=False.
         norm_train = train and not cfg.freeze_bn
+        # cnet consumes the left mono depth "replicated to 3 channels"
+        # (reference stereoanywhere.py:116) — passed as ONE channel; the
+        # encoder's conv1 sums its kernel over Cin instead (exact, 3x less
+        # full-res 7x7 contraction; ContextEncoder docstring).
         cnet_out = ContextEncoder(
             output_dims=(tuple(cfg.context_dims), tuple(cfg.context_dims)),
             name="cnet",
-        )(jnp.concatenate([mde2] * 3, axis=-1).astype(cdt), train=norm_train)
+        )(mde2.astype(cdt), train=norm_train)
         net_list = [jnp.tanh(o[0]) for o in cnet_out]
         inp_list = []
         for i, o in enumerate(cnet_out):
@@ -342,10 +346,12 @@ class StereoAnywhere(nn.Module):
                 )
                 kk = jnp.concatenate([k_mono, k_conf], axis=-1)  # (3,3,3,Ci,2)
                 both = conv3d_blocked_io(
-                    agg, kk.transpose(2, 0, 1, 3, 4), (1, 1, 1), 1, w=w2_vol
-                )  # (B, nb, W3, H, (W2/nb)*2), lanes w-major (mono, conf)-minor
-                agg_disp = from_blocks(both[..., 0::2])
-                agg_conf = from_blocks(both[..., 1::2])
+                    agg, kk.transpose(2, 0, 1, 3, 4), (1, 1, 1), 1, w=w2_vol,
+                    out_co_major=True,
+                )  # (B, nb, W3, H, 2*(W2/nb)), lanes co-major: [mono cols | conf cols]
+                wb_cls = both.shape[-1] // 2
+                agg_disp = from_blocks(both[..., :wb_cls])
+                agg_conf = from_blocks(both[..., wb_cls:])
             else:
                 agg_disp = Conv3dClassifier(name="classifier_mono")(agg, folded_w=w2_vol)
                 agg_conf = Conv3dClassifier(name="classifier_monoconf")(

@@ -127,24 +127,34 @@ class MotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, flow, corr, corr_mono):
-        convc1 = Conv(64, 1, 1, 0, name="convc1")
-        convc2 = Conv(64, 3, 1, 1, name="convc2")
+        from stereoanywhere_tpu.models.layers import paired_conv_apply
+
         # The stereo and mono correlation streams share convc1/convc2 weights
-        # (reference update.py:81-85); batch them through one conv call.
-        b = corr.shape[0]
-        both = jnp.concatenate([corr, corr_mono], axis=0)
-        both = jax.nn.relu(convc2(jax.nn.relu(convc1(both))))
-        cor, cor_mono = both[:b], both[b:]
+        # (reference update.py:81-85); run them PAIRED in the lane axis
+        # (block-diagonal kernels, exact same sums): a batch-2 36/64-channel
+        # conv fills under half the MXU's 128 lanes, and the batch concat /
+        # split relayouts leave the scan body.
+        k1, b1 = ParamConv(64, 1, name="convc1")(corr.shape[-1])
+        k2c, b2c = ParamConv(64, 3, name="convc2")(64)
+        both = jnp.concatenate([corr, corr_mono], axis=-1)  # (B,H,W,72)
+        both = jax.nn.relu(paired_conv_apply(both, k1, b1, 1, 0))
+        both = jax.nn.relu(paired_conv_apply(both, k2c, b2c, 1, 1))  # [cor|cor_mono]
         flo = jax.nn.relu(Conv(64, 7, 1, 3, name="convf1")(flow))
         flo = jax.nn.relu(Conv(64, 3, 1, 1, name="convf2")(flo))
         out = jax.nn.relu(
-            Conv(126, 3, 1, 1, name="_conv")(jnp.concatenate([cor, cor_mono, flo], axis=-1))
+            Conv(126, 3, 1, 1, name="_conv")(jnp.concatenate([both, flo], axis=-1))
         )
         return jnp.concatenate([out, flow], axis=-1)
 
 
 class UpdateHead(nn.Module):
-    """conv-relu-conv head (reference update.py:6-14)."""
+    """conv-relu-conv head (reference update.py:6-14).
+
+    conv2's 1-2 output channels fill 1/128-th of an MXU output tile and XLA
+    lowers it at ~25x waste (flow_head conv2: 0.21 ms/iter at 1024², device
+    trace); on accelerators it runs column-PACKED (layers.py
+    conv_small_cout_packed — 32 output columns share the lane axis, exact
+    same sums) when the width allows."""
 
     hidden_dim: int = 256
     output_dim: int = 1
@@ -152,6 +162,20 @@ class UpdateHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jax.nn.relu(Conv(self.hidden_dim, 3, 1, 1, name="conv1")(x))
+        pack = 128 // max(self.output_dim, 1)
+        if (
+            jax.default_backend() != "cpu"
+            and self.output_dim <= 4
+            and x.shape[2] >= 2 * pack
+        ):
+            from stereoanywhere_tpu.models.layers import (
+                conv_small_cout_packed,
+                unpack_columns,
+            )
+
+            k2, b2 = ParamConv(self.output_dim, 3, name="conv2")(x.shape[-1])
+            y = conv_small_cout_packed(x, k2, b2, pack=pack)
+            return unpack_columns(y, x.shape[2], self.output_dim)
         return Conv(self.output_dim, 3, 1, 1, name="conv2")(x)
 
 

@@ -269,18 +269,27 @@ def halo_lanes(x: jax.Array, left: int, right: int, c: int) -> jax.Array:
 
 
 def _banded_kernel_append(
-    kernel: jax.Array, wb: int, wb_out: int, sw: int, p: int, dtype
+    kernel: jax.Array, wb: int, wb_out: int, sw: int, p: int, dtype,
+    co_major: bool = False,
 ) -> jax.Array:
     """Banded kernel for the APPENDED-halo window layout: input rows are the
     wb in-block columns followed by the left-halo column (global offset -1)
     then the right-halo column (offset wb).  Same taps as _banded_kernel,
-    permuted rows."""
+    permuted rows.
+
+    co_major=True emits output lanes ordered (co, w_out) instead of
+    (w_out, co): sibling convs fused along co then split with CONTIGUOUS
+    lane slices instead of strided ones (the interleaved 0::2 split of the
+    fused classifier pair cost 8.1 ms of sliced relayouts at 1024²)."""
     kd, kh, kw, ci, co = kernel.shape
     g = jnp.asarray(list(range(wb)) + [-1, wb])  # (wb+2,) global in-block offsets
     wo = jnp.arange(wb_out)
     tap = g[:, None] - sw * wo[None, :] + p  # (wb+2, wb_out)
     band = (tap[..., None] == jnp.arange(kw)).astype(dtype)
     k2 = jnp.einsum("dhkco,wvk->dhwcvo", kernel.astype(dtype), band)
+    if co_major:
+        k2 = k2.transpose(0, 1, 2, 3, 5, 4)  # (..., ci, co, wb_out)
+        return k2.reshape(kd, kh, (wb + 2) * ci, co * wb_out)
     return k2.reshape(kd, kh, (wb + 2) * ci, wb_out * co)
 
 
@@ -303,13 +312,17 @@ def conv3d_blocked_io(
     padding: int = 1,
     *,
     w: int,
+    out_co_major: bool = False,
 ) -> jax.Array:
     """NDHWC conv3d on the carried block layout, blocked in and out.
 
     x: (B, nb, D, H, (w/nb)*Ci); kernel (kd, kh, kw, Ci, Co); torch-style
     symmetric `padding` (must equal (kw-1)/2 for kw>1 — the halo exchange
     assumes the size-preserving window).  Returns
-    (B, nb, D', H', (w/nb/sw)*Co) — same multiply-adds as conv3d_folded_io."""
+    (B, nb, D', H', (w/nb/sw)*Co) — same multiply-adds as conv3d_folded_io.
+    out_co_major=True orders output lanes (Co, w) instead of (w, Co) so a
+    co-fused sibling-conv pair splits with contiguous lane slices (kw==3
+    path only)."""
     b, nb, d, h, wbci = x.shape
     kd, kh, kw, ci, co = kernel.shape
     wb = w // nb
@@ -323,9 +336,10 @@ def conv3d_blocked_io(
     wb_out = wb // sw
 
     if kw == 3 and p == 1:
-        k2 = _banded_kernel_append(kernel, wb, wb_out, sw, p, x.dtype)
+        k2 = _banded_kernel_append(kernel, wb, wb_out, sw, p, x.dtype, out_co_major)
         wins = halo_lanes_append(x, ci).reshape(b * nb, d, h, (wb + 2) * ci)
     else:
+        assert not out_co_major, "co-major output only on the kw==3 path"
         wb_in = wb + kw - 1
         k2 = _banded_kernel(kernel, wb_in, wb_out, sw, x.dtype)
         wins = halo_lanes(x, p, kw - 1 - p, ci).reshape(b * nb, d, h, wb_in * ci)

@@ -389,3 +389,39 @@ def test_model_forward_folded_matches_unfolded(rng):
         b = np.asarray(ou[key], np.float32)
         scale = max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0, err_msg=key)
+
+
+def test_blocked_conv_co_major_output(rng):
+    """out_co_major=True reorders output lanes (co, w) — contiguous sibling
+    split — with identical values to the default (w, co) interleave."""
+    from stereoanywhere_tpu.ops.folded import conv3d_blocked_io, fold, to_blocks
+
+    B, D, H, W, C, CO = 1, 5, 4, 32, 6, 2
+    x5 = jnp.asarray(rng.standard_normal((B, D, H, W, C)).astype(np.float32))
+    xb = to_blocks(fold(x5), 2)
+    kern = jnp.asarray(rng.standard_normal((3, 3, 3, C, CO)).astype(np.float32))
+    std = conv3d_blocked_io(xb, kern, (1, 1, 1), 1, w=W)  # (..., wb*CO)
+    com = conv3d_blocked_io(xb, kern, (1, 1, 1), 1, w=W, out_co_major=True)
+    wb = std.shape[-1] // CO
+    for c in range(CO):
+        np.testing.assert_allclose(
+            np.asarray(com[..., c * wb : (c + 1) * wb]),
+            np.asarray(std[..., c::CO]),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+def test_cnet_replicated_input_kernel_sum(rng):
+    """ContextEncoder fed 1 channel == fed the channel replicated x3 (the
+    conv1 kernel Cin-sum shortcut is exact for identical channels)."""
+    from stereoanywhere_tpu.models.extractor import ContextEncoder
+
+    x1 = jnp.asarray(rng.uniform(0, 1, (1, 32, 48, 1)).astype(np.float32))
+    x3 = jnp.concatenate([x1] * 3, axis=-1)
+    m = ContextEncoder(output_dims=((64, 64, 64), (64, 64, 64)))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x3)
+    o3 = jax.jit(m.apply)(v, x3)
+    o1 = jax.jit(m.apply)(v, x1)
+    # identical sums up to f32 accumulation order (kernel Cin-sum first)
+    for a, b in zip(jax.tree_util.tree_leaves(o1), jax.tree_util.tree_leaves(o3)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5)
