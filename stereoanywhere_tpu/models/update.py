@@ -150,11 +150,13 @@ class MotionEncoder(nn.Module):
 class UpdateHead(nn.Module):
     """conv-relu-conv head (reference update.py:6-14).
 
-    conv2's 1-2 output channels fill 1/128-th of an MXU output tile and XLA
-    lowers it at ~25x waste (flow_head conv2: 0.21 ms/iter at 1024², device
-    trace); on accelerators it runs column-PACKED (layers.py
-    conv_small_cout_packed — 32 output columns share the lane axis, exact
-    same sums) when the width allows."""
+    Measured negative (do not re-add): column-packing conv2's 1-2 output
+    channels via layers.conv_small_cout_packed — a win for the mono DPT
+    output convs — LOSES inside the GRU scan on all three axes (A/B,
+    2026-08-20): 512² loop 0.926→1.019 ms/iter, 1024² 3.867→4.220, and
+    ~34 ms/step in training where the 160-wide crop is ragged vs pack=64
+    (backward relayouts).  In-scan XLA already fuses conv2 into the
+    neighboring ops; the packed stride-`pack` conv breaks that fusion."""
 
     hidden_dim: int = 256
     output_dim: int = 1
@@ -162,20 +164,6 @@ class UpdateHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = jax.nn.relu(Conv(self.hidden_dim, 3, 1, 1, name="conv1")(x))
-        pack = 128 // max(self.output_dim, 1)
-        if (
-            jax.default_backend() != "cpu"
-            and self.output_dim <= 4
-            and x.shape[2] >= 2 * pack
-        ):
-            from stereoanywhere_tpu.models.layers import (
-                conv_small_cout_packed,
-                unpack_columns,
-            )
-
-            k2, b2 = ParamConv(self.output_dim, 3, name="conv2")(x.shape[-1])
-            y = conv_small_cout_packed(x, k2, b2, pack=pack)
-            return unpack_columns(y, x.shape[2], self.output_dim)
         return Conv(self.output_dim, 3, 1, 1, name="conv2")(x)
 
 
