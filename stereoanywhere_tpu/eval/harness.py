@@ -299,11 +299,28 @@ class Evaluator:
             self._sample_idx += 1
 
         if "gt_depth" in sample:
-            # disp -> depth via fixed rig constants (reference test_monotrap.py:246-250)
+            # disp -> depth via fixed rig constants (reference
+            # test_monotrap.py:246-255): only POSITIVE disparities are
+            # converted (non-positive values pass through raw and are then
+            # clamped to 0 by the clip), the depth map is clipped to
+            # [0, gt_depth.max()], and the metric validity mask is the
+            # DISPARITY validity (data['validgt']), not validgt_depth.
             from stereoanywhere_tpu.data.datasets import MonoTrapDataset
 
-            depth = MonoTrapDataset.BASELINE * MonoTrapDataset.FOCAL / np.maximum(disp[0, ..., 0], 1e-6)
-            dm = depth_metrics(depth, sample["gt_depth"][..., 0], sample["validgt_depth"][..., 0])
+            gt_depth = sample["gt_depth"][None]
+            if self.oscale != 1.0:
+                # reference test_monotrap.py:178: gt_depth nearest-downscaled
+                # (metric depth — values NOT divided by oscale)
+                gt_depth = resize_np(gt_depth, gt.shape[1:3], nearest=True)
+            d0 = disp[0, ..., 0]
+            gd = gt_depth[0, ..., 0]
+            depth = np.where(
+                d0 > 0,
+                MonoTrapDataset.BASELINE * MonoTrapDataset.FOCAL / np.where(d0 > 0, d0, 1.0),
+                d0,
+            )
+            depth = np.clip(depth, 0, gd.max())
+            dm = depth_metrics(depth, gd, valid[0, ..., 0])
             dm.pop("errormap", None)
             m.update({f"depth/{k}": v for k, v in dm.items()})
         return m

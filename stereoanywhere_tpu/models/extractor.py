@@ -137,6 +137,13 @@ class ContextEncoder(nn.Module):
     (reference stereoanywhere.py:116).  Returns
     ((net04, inp04), (net08, inp08), (net16, inp16)) raw head outputs at
     1/4, 1/8, 1/16 resolution (reference names them outputs08/16/32).
+
+    API contract: a 1-CHANNEL input is always interpreted as "mono depth
+    that the reference would replicate to 3 channels" — the conv1 kernel
+    stays (7,7,3,64) and is Cin-summed so the math equals conv over the
+    replicated input.  A caller with a genuine single-channel signal (not
+    a to-be-replicated depth) must replicate/project to 3 channels itself
+    before calling.
     """
 
     output_dims: Sequence[Sequence[int]] = ((128, 128, 128), (128, 128, 128))

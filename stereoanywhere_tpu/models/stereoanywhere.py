@@ -449,7 +449,8 @@ class StereoAnywhere(nn.Module):
             # shapes) but IN-SCAN the custom-call layout boundary makes XLA
             # re-lay-out every neighboring conv: loop 138 -> 154.5 ms (all
             # levels fused) / 194.4 ms (level-0 only), device traces
-            # 2026-08-20.  Kept for serving paths that may isolate the GRU.
+            # 2026-08-20.  Demoted to the negative-kernel index (no shipped
+            # path isolates the GRU from the scan).
             fused_gru=False,
         )
         inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]

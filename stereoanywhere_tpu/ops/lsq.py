@@ -109,7 +109,10 @@ def _masked_quantile(v: jax.Array, mask: jax.Array, q: float) -> jax.Array:
     frac = (pos - lo.astype(jnp.float32)).astype(v.dtype)
     vlo = jnp.take_along_axis(s, lo[:, None], axis=1)[:, 0]
     vhi = jnp.take_along_axis(s, hi[:, None], axis=1)[:, 0]
-    return vlo * (1 - frac) + vhi * frac
+    # n == 0 would clamp the gather to index 0 and return the finfo.max
+    # filler — a plausible-looking garbage value.  The torch reference
+    # raises on the empty tensor; fail loudly with NaN instead.
+    return jnp.where(n > 0, vlo * (1 - frac) + vhi * frac, jnp.nan)
 
 
 def _masked_median_torch(v: jax.Array, mask: jax.Array) -> jax.Array:
@@ -119,7 +122,9 @@ def _masked_median_torch(v: jax.Array, mask: jax.Array) -> jax.Array:
     s = jnp.sort(jnp.where(mask, v, big), axis=1)
     n = jnp.sum(mask, axis=1)
     idx = (n - 1) // 2
-    return jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+    med = jnp.take_along_axis(s, idx[:, None], axis=1)[:, 0]
+    # empty mask: fail loudly (see _masked_quantile)
+    return jnp.where(n > 0, med, jnp.nan)
 
 
 def naive_scale_shift(

@@ -20,7 +20,15 @@ Halo handling: each band DMAs a fixed (BR+2)-row window with a clamped
 start; the first/last bands roll the scratch by one row and zero the
 out-of-image border row (conv zero-padding semantics).
 
-Replaces reference ConvGRU (update.py:46-62) on the TPU path.
+STATUS — NEGATIVE RESULT (round 4, final): standalone the fused pair is
+2.2x the XLA step (0.97 vs 2.14 ms at the 1024² level-0 shapes), but
+in-scan the custom-call layout boundary makes XLA re-lay-out every
+neighboring conv (loop 138 -> 154.5/194.4 ms at 1024², device traces
+2026-08-20).  No shipped path isolates the GRU from the scan — the serve
+pipeline jits the whole forward — so there is no consumer for the
+standalone win; `fused=False` everywhere.  Kept only as a documented,
+exactness-tested negative like the five lookup kernels (ARCHITECTURE.md
+negative-kernel index).  Reference ConvGRU: update.py:46-62.
 """
 from __future__ import annotations
 

@@ -17,12 +17,12 @@ Why fused (device traces, v5e, ViT-L 518², T=1370, bf16):
   operands (the LN-stat reduce chains run at ~83 TF/s in-fusion).  Here
   LN and gelu run on the VPU *inside* the kernel between two clean MXU
   dots.
-- the (B*T, 4096) gelu intermediate never exists in HBM; only the four
-  f32 quarter partials do (45 MB/layer ≈ 0.05 ms — the price of keeping
-  every weight block resident exactly once; VMEM cannot hold the full
-  16.8 MB of W1+W2 double-buffered).
+- the (B*T, 4096) gelu intermediate never exists in HBM; only the
+  n_splits f32 split partials do (two halves ≈ 22 MB/layer — the price of
+  keeping every weight block resident exactly once; VMEM cannot hold the
+  full 16.8 MB of W1+W2 double-buffered, but 8.4 MB half-slabs fit).
 
-LN is recomputed per quarter (4x redundant, VPU-cheap) to avoid holding a
+LN is recomputed per split (redundant, VPU-cheap) to avoid holding a
 full LN'd copy in scratch.  gelu is the exact erf form, matching
 reference dinov2_layers/mlp.py's nn.GELU.
 
@@ -74,7 +74,7 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, o_ref, *, eps: floa
     )
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "n_quarters", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_t", "n_splits", "interpret"))
 def vit_mlp(
     x: jax.Array,
     ln_gamma: jax.Array,
@@ -84,22 +84,22 @@ def vit_mlp(
     w2: jax.Array,
     b2: jax.Array,
     block_t: int = 256,
-    n_quarters: int = 2,
+    n_splits: int = 2,
     eps: float = 1e-6,
     interpret: bool = False,
 ) -> jax.Array:
     """gelu(LN(x) @ w1 + b1) @ w2 + b2 on (B, T, D) tokens."""
     btot, t, d = x.shape
     hidden = w1.shape[1]
-    hq = hidden // n_quarters
-    assert hidden % n_quarters == 0
+    hq = hidden // n_splits
+    assert hidden % n_splits == 0
     xf = x.reshape(1, btot * t, d)
     nt = pl.cdiv(btot * t, block_t)
 
-    grid = (n_quarters, nt)
+    grid = (n_splits, nt)
     partials = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n_quarters, btot * t, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_splits, btot * t, d), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_t, d), lambda q, i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -114,7 +114,7 @@ def vit_mlp(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * btot * t * d * hidden,
-            bytes_accessed=(w1.size + w2.size) * 2 + xf.size * 2 * n_quarters,
+            bytes_accessed=(w1.size + w2.size) * 2 + xf.size * 2 * n_splits,
             transcendentals=btot * t * hidden,
         ),
         interpret=interpret,

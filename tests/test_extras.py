@@ -292,3 +292,19 @@ def test_naive_scale_shift_golden(rng):
     )
     np.testing.assert_allclose(np.asarray(scale)[:, 0, 0, 0], want_scale, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(shift)[:, 0, 0, 0], want_shift, rtol=1e-4, atol=1e-5)
+
+
+def test_naive_scale_shift_empty_mask_is_nan(rng):
+    """An all-low-confidence frame must fail LOUDLY (NaN), not silently emit
+    a plausible-looking scale from the sort filler (the torch reference
+    raises on the empty tensor; advisor finding r3)."""
+    from stereoanywhere_tpu.ops.lsq import naive_scale_shift
+
+    mde = jnp.asarray(rng.uniform(0, 1, (2, 5, 7, 1)).astype(np.float32))
+    disp = mde * 2.0 + 1.0
+    conf = jnp.concatenate(
+        [jnp.zeros((1, 5, 7, 1)), jnp.ones((1, 5, 7, 1))], axis=0
+    )  # batch row 0: no conf > th
+    scale, shift = naive_scale_shift(mde, disp, conf)
+    assert np.isnan(np.asarray(scale)[0]).all() and np.isnan(np.asarray(shift)[0]).all()
+    assert np.isfinite(np.asarray(scale)[1]).all() and np.isfinite(np.asarray(shift)[1]).all()

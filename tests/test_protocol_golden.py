@@ -149,6 +149,21 @@ def _torch_protocol_run(
         pred.numpy(), gt.numpy(), valid.numpy(), maskocc.numpy()
     )
     m.pop("errormap", None)
+
+    if "gt_depth" in sample:
+        # literal transcription of reference test_monotrap.py:246-255
+        gt_depth = chw(sample["gt_depth"])
+        if oscale != 1:
+            gt_depth = F.interpolate(gt_depth, scale_factor=1.0 / oscale, mode="nearest")
+        baseline = 0.075
+        K = 450.0487976074219
+        _depth = pred.squeeze().numpy().copy()
+        _depth[_depth > 0] = (K * baseline) / _depth[_depth > 0]
+        _gt_depth = gt_depth.squeeze().numpy()
+        _depth = np.clip(_depth, 0, _gt_depth.max())
+        dm = losses.depth_metrics(_depth, _gt_depth, valid.squeeze().numpy())
+        dm.pop("errormap", None)
+        m.update({f"depth/{k}": v for k, v in dm.items()})
     return m, np.asarray(pred)[0]
 
 
@@ -223,6 +238,67 @@ def test_protocol_golden(
     got_m, _ = _jax_protocol_run(
         sample, jax_stereo, jax_mono, tw, th, iscale, oscale, iters
     )
+    _compare(ref_m, got_m)
+
+
+def test_protocol_golden_kitti_style(torch_stereo, torch_mono, jax_stereo, jax_mono):
+    """KITTI protocol: sparse gt, top-crop'd frame geometry, and maskocc
+    built with the dataset's occ AND NOT noc rule (reference
+    kittistereo_dataset.py:54-56) so the guided_metrics occ/noc SPLITS are
+    exercised with a realistic occlusion mask (not the random one above)."""
+    rng = np.random.default_rng(7)
+    h, w = 110, 248
+    top_crop = 14  # dataset-level top crop (reference base protocol)
+    sample = _sample(rng, h, w)
+
+    # sparse KITTI-like gt: ~35% coverage (LiDAR-ish), occ superset of noc
+    occ_valid = (rng.uniform(size=(h, w, 1)) > 0.65).astype(np.float32)
+    noc_valid = occ_valid * (rng.uniform(size=(h, w, 1)) > 0.25).astype(np.float32)
+    sample["gt"] = sample["gt"] * occ_valid
+    sample["validgt"] = occ_valid
+    # occ AND NOT noc — 1 where gt exists only in the occluded split
+    sample["maskocc"] = ((occ_valid > 0) & (occ_valid - noc_valid > 0)).astype(np.float32)
+    # top_crop applied to every spatial key (dataset layer, before protocol)
+    sample = {k: v[top_crop:] for k, v in sample.items()}
+
+    ref_m, _ = _torch_protocol_run(
+        sample, torch_stereo, torch_mono, 336, 126, 1.0, 1.0, 2
+    )
+    got_m, _ = _jax_protocol_run(
+        sample, jax_stereo, jax_mono, 336, 126, 1.0, 1.0, 2
+    )
+    assert any(k.startswith("occ ") or "occ" in k for k in ref_m), list(ref_m)
+    _compare(ref_m, got_m)
+
+
+@pytest.mark.parametrize("scale", [1.0, 2.0])
+def test_protocol_golden_monotrap_depth(
+    torch_stereo, torch_mono, jax_stereo, jax_mono, scale
+):
+    """MonoTrap protocol: disp -> depth via the fixed rig constants
+    (baseline 0.075 m, K 450.0488 px) with the reference's >0-gated
+    conversion, clip to gt max and DISPARITY validity mask, compared
+    metric-by-metric against the live test_monotrap.py:246-255 math.
+    scale=2 (iscale=oscale — the only oscale!=1 form the reference protocol
+    supports) exercises the nearest gt_depth downscale, which unlike gt is
+    NOT divided by the scale (metric depth)."""
+    rng = np.random.default_rng(11)
+    h, w = 94, 130
+    sample = _sample(rng, h, w)
+    # depth consistent with the gt disparity on valid pixels
+    gt_d = sample["gt"][..., 0]
+    depth = np.where(gt_d > 0, 0.075 * 450.0487976074219 / np.maximum(gt_d, 1e-6), 0.0)
+    sample["gt_depth"] = (depth * (sample["validgt"][..., 0] > 0))[..., None].astype(np.float32)
+    sample["validgt_depth"] = sample["validgt"].copy()
+    sample.pop("maskocc")  # monotrap has no occlusion mask (zeros path)
+
+    ref_m, _ = _torch_protocol_run(
+        sample, torch_stereo, torch_mono, 126, 126, scale, scale, 2
+    )
+    got_m, _ = _jax_protocol_run(
+        sample, jax_stereo, jax_mono, 126, 126, scale, scale, 2
+    )
+    assert any(k.startswith("depth/") for k in ref_m), list(ref_m)
     _compare(ref_m, got_m)
 
 

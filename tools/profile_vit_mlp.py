@@ -57,7 +57,7 @@ def main():
         return a @ w2 + b2.astype(x.dtype)
 
     def pallas_fn(x, g, be, w1, b1, w2, b2):
-        return vit_mlp(x, g, be, w1, b1, w2, b2, block_t=args.bt, n_quarters=args.quarters)
+        return vit_mlp(x, g, be, w1, b1, w2, b2, block_t=args.bt, n_splits=args.quarters)
 
     ref = np.asarray(jax.jit(xla_ref)(x, g, be, w1, b1, w2, b2), dtype=np.float32)
     got = np.asarray(jax.jit(pallas_fn)(x, g, be, w1, b1, w2, b2), dtype=np.float32)

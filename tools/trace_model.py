@@ -40,21 +40,71 @@ def summarize(trace_dir: str, top: int, by_source: bool = False) -> None:
     # we don't want).  Device lanes are named like "/device:TPU:0 ..." in
     # process_name metadata.
     device_pids = set()
+    module_lanes = set()  # (pid, tid) of "XLA Modules" whole-program umbrellas
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             name = ev.get("args", {}).get("name", "")
             if "TPU" in name or "device" in name.lower():
                 device_pids.add(ev["pid"])
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            if "Module" in ev.get("args", {}).get("name", ""):
+                module_lanes.add((ev["pid"], ev.get("tid", 0)))
+
+    # The runtime emits NESTED spans on the device op lane (e.g. the GRU
+    # `while` umbrella contains every in-loop op, and fusions can contain
+    # sub-spans) — naively summing durations double-counts.  Keep LEAF
+    # spans only: sort by (start, -dur) and drop any span that strictly
+    # contains a later span (stack-based containment sweep, per pid/tid).
+    raw = [
+        ev
+        for ev in trace.get("traceEvents", [])
+        if ev.get("ph") == "X"
+        and ev.get("pid") in device_pids
+        and (ev["pid"], ev.get("tid", 0)) not in module_lanes
+    ]
+    by_lane: dict[tuple, list] = defaultdict(list)
+    for ev in raw:
+        by_lane[(ev["pid"], ev.get("tid", 0))].append(ev)
+    leaves = []
+    for lane in by_lane.values():
+        lane.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, ev, has_child)
+        for ev in lane:
+            s, t = ev["ts"], ev["ts"] + ev.get("dur", 0)
+            while stack and stack[-1][0] <= s + 1e-9:
+                end, parent, has_child = stack.pop()
+                if not has_child:
+                    leaves.append(parent)
+            if stack:
+                stack[-1] = (stack[-1][0], stack[-1][1], True)
+            stack.append((t, ev, False))
+        while stack:
+            end, parent, has_child = stack.pop()
+            if not has_child:
+                leaves.append(parent)
+
+    # loop/base split: leaves inside the biggest `while.*` umbrella span are
+    # the GRU scan body; everything else is "base".
+    loop_span = None
+    for ev in raw:
+        if ev.get("name", "").startswith("while") and (
+            loop_span is None or ev.get("dur", 0) > loop_span.get("dur", 0)
+        ):
+            loop_span = ev
+    loop_iv = (
+        (loop_span["ts"], loop_span["ts"] + loop_span["dur"]) if loop_span else None
+    )
+    loop_ms = (loop_span["dur"] / 1e3) if loop_span else 0.0
 
     totals: dict[str, float] = defaultdict(float)
     counts: dict[str, int] = defaultdict(int)
     sources: dict[str, str] = {}
     grand = 0.0
-    for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
-            continue
+    for ev in leaves:
         dur = ev.get("dur", 0) / 1e3  # us -> ms
         name = ev.get("name", "?")
+        if loop_iv and ev["ts"] >= loop_iv[0] and ev["ts"] < loop_iv[1]:
+            name = "[loop] " + name
         totals[name] += dur
         counts[name] += 1
         grand += dur
@@ -66,7 +116,7 @@ def summarize(trace_dir: str, top: int, by_source: bool = False) -> None:
             sources[name] = src.replace("/root/repo/", "") if src else ""
 
     print(f"trace: {path}")
-    print(f"device total (sum of op spans): {grand:.2f} ms")
+    print(f"device total (sum of leaf op spans): {grand:.2f} ms")
     if by_source:
         # Aggregate by originating python line; unattributed spans fall back
         # to the op-kind prefix (name up to the first '.').  The top-level
@@ -76,9 +126,12 @@ def summarize(trace_dir: str, top: int, by_source: bool = False) -> None:
         for name, ms in totals.items():
             if name.startswith("jit_"):
                 continue
-            key = sources.get(name) or name.split(".")[0]
+            pre, bare = ("[loop] ", name[7:]) if name.startswith("[loop] ") else ("", name)
+            key = pre + (sources.get(name) or bare.split(".")[0])
             agg[key] += ms
             acnt[key] += counts[name]
+        if loop_span is not None:
+            print(f"loop umbrella ({loop_span['name']}): {loop_ms:.2f} ms; base: {grand - sum(v for k, v in agg.items() if k.startswith('[loop] ')):.2f} ms")
         print(f"{'ms':>10}  {'n':>5}  source / op-kind")
         for key, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
             print(f"{ms:10.3f}  {acnt[key]:5d}  {key}")
