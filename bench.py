@@ -38,6 +38,17 @@ BASELINES = {
     "train_step_latency": None,    # reference publishes no train-step time
     "total_1024_latency": 0.63,
     "total_512_latency": 0.24,
+    # North-star geometries (BASELINE.json configs 2/3): the paper publishes
+    # no per-dataset latency, so vs_baseline is null — these rows exist
+    # because non-square, lane-hostile shapes (KITTI W/4=312) stress the
+    # folded/blocked layouts the square benchmarks never touch.
+    "kitti_latency": None,         # 1248x384 = KITTI 1242x375 pad-32
+    "middlebury_h_latency": None,  # 1536x1056 ~ Middlebury 2014 half-res pad-32
+    # The deployable fused graph (serve/pipeline.py: mono + joint minmax +
+    # pad-32 + stereo + unpad in ONE jit) at 512² — comparable to the stage
+    # sum total_512_latency (the reference's deployable wrapper is exactly
+    # this fusion, demo/fast_demo_utils.py:19-58).
+    "pipeline_512_latency": 0.24,
 }
 
 
@@ -80,7 +91,7 @@ def _bf16_variables(variables):
     )
 
 
-def bench_stereo(size: int) -> float:
+def bench_stereo(size) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +102,8 @@ def bench_stereo(size: int) -> float:
 
     cfg = StereoAnywhereConfig(compute_dtype="bfloat16")
     model = StereoAnywhere(cfg)
-    args = _inputs(size, size)
+    h, w = (size, size) if isinstance(size, int) else size
+    args = _inputs(h, w)
     # jit the init: eager init is thousands of tiny dispatches — pathological
     # through a remote TPU runtime.
     init_fn = jax.jit(lambda k, *a: model.init(k, *a, iters=1, test_mode=True))
@@ -131,6 +143,54 @@ def bench_mono() -> float:
 
     return chained_timer(
         fwd, x, n_chain=8, repeats=5, const_args=(variables,), return_samples=True
+    )
+
+
+def bench_pipeline(size: int = 512) -> float:
+    """The deployable fused graph: mono -> joint minmax -> pad-32 -> stereo
+    -> unpad as ONE jitted program (serve/pipeline.py), vs the stage-sum
+    composition the headline uses."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import MonoConfig, StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+    from stereoanywhere_tpu.models.dpt import DepthAnythingV2
+    from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline
+    from stereoanywhere_tpu.utils.profiling import chained_timer
+
+    stereo_cfg = StereoAnywhereConfig(compute_dtype="bfloat16")
+    mono_cfg = MonoConfig.for_encoder("vitl")
+    s_init = jax.jit(
+        lambda k, *a: StereoAnywhere(stereo_cfg).init(k, *a, iters=1, test_mode=True)
+    )
+    stereo_vars = _bf16_variables(s_init(jax.random.PRNGKey(0), *_inputs(64, 96)))
+    m_init = jax.jit(DepthAnythingV2(mono_cfg).init)
+    mono_vars = _bf16_variables(
+        m_init(jax.random.PRNGKey(1), jnp.zeros((1, 126, 126, 3), jnp.float32))
+    )
+
+    pipe = StereoAnywherePipeline(
+        stereo_vars, mono_vars, stereo_cfg, mono_cfg, iters=32
+    )
+    run = pipe._build(size, size)
+
+    rng = np.random.default_rng(0)
+    im2, im3 = (
+        jnp.asarray(rng.uniform(0, 1, (1, size, size, 3)).astype(np.float32))
+        for _ in range(2)
+    )
+    zero = jnp.zeros((1, size, size, 1), jnp.float32)
+    out = run(stereo_vars, mono_vars, im2, im3, zero, zero)
+    assert np.isfinite(np.asarray(out, dtype=np.float32)).all(), "non-finite pipeline output"
+    return chained_timer(
+        lambda sv, mv, a, b: run(sv, mv, a, b, zero, zero),
+        im2,
+        im3,
+        n_chain=8,
+        repeats=5,
+        const_args=(stereo_vars, mono_vars),
+        return_samples=True,
     )
 
 
@@ -194,6 +254,11 @@ def main():
     run("stereo_1024_latency", lambda: bench_stereo(1024))
     run("mono_pair_latency", bench_mono)
     run("train_step_latency", bench_train_step)
+    # north-star geometries (H, W): KITTI 1242x375 pad-32, Middlebury 2014
+    # half-res pad-32 — non-square shapes that stress lane folding
+    run("kitti_latency", lambda: bench_stereo((384, 1248)))
+    run("middlebury_h_latency", lambda: bench_stereo((1056, 1536)))
+    run("pipeline_512_latency", bench_pipeline)
 
     def total(a, b):
         # per-repeat sums pair the i-th samples; lengths may differ — zip stops

@@ -172,6 +172,26 @@ class LayerScale(nn.Module):
         return x * gamma
 
 
+class _GammaParams(nn.Module):
+    """LayerScale's parameter (ones init, same name/path), applied by the
+    caller (inside a fused kernel)."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        return self.param("gamma", nn.initializers.ones, (d,))
+
+
+class _AttnParams(nn.Module):
+    """qkv/proj Dense parameters with Attention's exact tree (attn/qkv/...,
+    attn/proj/...), applied by the caller via the fused Pallas kernels."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        wq, bq = _DenseParams(3 * d, name="qkv")(d)
+        wp, bp = _DenseParams(d, name="proj")(d)
+        return wq, bq, wp, bp
+
+
 class Block(nn.Module):
     """Pre-norm transformer block with LayerScale (reference dinov2_layers/block.py)."""
 
@@ -182,8 +202,28 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
+        hd = d // self.num_heads
+        if jax.default_backend() == "tpu" and d % 128 == 0 and hd in (64, 128):
+            # Fused Dense-side kernels (ops/pallas/vit_dense.py): LN1+QKV in
+            # one program, proj+LayerScale+residual in another — the whole
+            # attention sub-block runs as three Pallas kernels with zero
+            # XLA passes between them.  Parameter tree identical to the
+            # module path below (norm1/attn/ls1).
+            from stereoanywhere_tpu.ops.pallas.vit_attention import vit_attention
+            from stereoanywhere_tpu.ops.pallas.vit_dense import (
+                dense_scale_residual,
+                ln_dense,
+            )
+
+            g1, bn1 = _LayerNormParams(name="norm1")(d)
+            wq, bq, wp, bp = _AttnParams(name="attn")(d)
+            gls1 = _GammaParams(name="ls1")(d)
+            qkv = ln_dense(x, g1, bn1, wq, bq)
+            o = vit_attention(qkv, self.num_heads)
+            x = dense_scale_residual(x, o, wp, bp, gls1)
+        else:
+            h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+            x = x + LayerScale(name="ls1")(Attention(self.num_heads, name="attn")(h))
         if self.ffn_layer == "swiglufused":
             h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
             ffn = SwiGLUFFN(name="mlp")(h)

@@ -40,6 +40,14 @@ class ResidualBlock(nn.Module):
     norm: str = "instance"  # 'instance' | 'batch' | 'none'
     stride: int = 1
     paired: bool = False
+    # unfold_paired: input is the PAIRED layout (B,H,W,2C) but this block's
+    # first convs emit the views as separate batch entries (2B,H,W,F) — the
+    # paired->batch switch happens INSIDE conv1/downsample_0 via Cin-zero-
+    # extended kernels instead of a lane-slice concat.  The slice at lane 64
+    # of a 128-lane tile was a measured 4 ms relayout at 1024² (device trace
+    # r4); the two extra kernel halves are zeros (exact same sums), and each
+    # conv reads the full-lane paired input at full MXU utilization.
+    unfold_paired: bool = False
 
     def _norm(self, name: str):
         if self.norm == "batch":
@@ -51,6 +59,41 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         kw = dict(use_running_average=not train) if self.norm == "batch" else {}
+
+        if self.unfold_paired:
+            assert self.norm != "batch", "unfold_paired requires non-batch norm"
+            in_features = x.shape[-1] // 2
+            assert self.stride != 1 or in_features != self.features, (
+                "unfold_paired expects a downsample shortcut (it carries the "
+                "second unfold conv)"
+            )
+
+            def unfold_conv(inp, kernel, bias, stride, pad):
+                z = jnp.zeros_like(kernel)
+                ys = []
+                for kk in (
+                    jnp.concatenate([kernel, z], axis=2),
+                    jnp.concatenate([z, kernel], axis=2),
+                ):
+                    y = jax.lax.conv_general_dilated(
+                        inp,
+                        kk.astype(inp.dtype),
+                        (stride, stride),
+                        ((pad, pad), (pad, pad)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
+                    ys.append(y + bias.astype(y.dtype))
+                return jnp.concatenate(ys, axis=0)
+
+            k1, b1 = ParamConv(self.features, 3, name="conv1")(in_features)
+            y = unfold_conv(x, k1, b1, self.stride, 1)
+            y = jax.nn.relu(self._norm("norm1")(y, **kw))
+            y = Conv(self.features, 3, 1, 1, name="conv2")(y)
+            y = jax.nn.relu(self._norm("norm2")(y, **kw))
+            kd, bd = ParamConv(self.features, 1, name="downsample_0")(in_features)
+            sc = unfold_conv(x, kd, bd, self.stride, 0)
+            sc = self._norm("norm3")(sc, **kw)
+            return jax.nn.relu(sc + y)
 
         if self.paired:
             assert self.norm != "batch", "paired ResidualBlock requires non-batch norm"
@@ -120,10 +163,12 @@ class FeatureEncoder(nn.Module):
 
         x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_0")(x, train)
         x = ResidualBlock(64, self.norm, 1, paired=paired, name="layer1_1")(x, train)
-        if paired:
-            # unfold views back onto the batch axis for the wide layers
-            x = jnp.concatenate([x[..., :64], x[..., 64:]], axis=0)
-        x = ResidualBlock(96, self.norm, 1 + (d > 1), name="layer2_0")(x, train)
+        # the views unfold back onto the batch axis INSIDE layer2_0's convs
+        # (ResidualBlock.unfold_paired): the explicit lane-slice concat that
+        # used to sit here was a 4 ms relayout at 1024².
+        x = ResidualBlock(
+            96, self.norm, 1 + (d > 1), unfold_paired=paired, name="layer2_0"
+        )(x, train)
         x = ResidualBlock(96, self.norm, 1, name="layer2_1")(x, train)
         x = ResidualBlock(128, self.norm, 1 + (d > 0), name="layer3_0")(x, train)
         x = ResidualBlock(128, self.norm, 1, name="layer3_1")(x, train)

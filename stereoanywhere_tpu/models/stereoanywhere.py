@@ -183,10 +183,15 @@ class StereoAnywhere(nn.Module):
         net_list = [jnp.tanh(o[0]) for o in cnet_out]
         inp_list = []
         for i, o in enumerate(cnet_out):
+            # kept WHOLE (not pre-split into cz/cr/cq): the split slices of
+            # the 384-lane conv output became non-contiguous scan constants
+            # that XLA re-copied into the loop body every iteration (3 x
+            # 1.6 ms per loop at 1024²); ConvGRU slices lanes in-place where
+            # the slices fuse into the gate adds.
             ctx = Conv(cfg.context_dims[i] * 3, 3, 1, 1, name=f"context_zqr_convs_{i}")(
                 jax.nn.relu(o[1])
             )
-            inp_list.append(tuple(jnp.split(ctx, 3, axis=-1)))
+            inp_list.append(ctx)
 
         # --- feature encoder, both views as one doubled batch (ref :122) ---
         fmaps = FeatureEncoder(cfg.fnet_dim, name="fnet")(
@@ -453,7 +458,7 @@ class StereoAnywhere(nn.Module):
             # path isolates the GRU from the scan).
             fused_gru=False,
         )
-        inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
+        inp_list = [ctx.astype(cdt) for ctx in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)
 
         # Lookup dispatch.  The Pallas barrel-shift kernel

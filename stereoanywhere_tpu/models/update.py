@@ -32,9 +32,17 @@ class ConvGRU(nn.Module):
     fused: bool = False  # Pallas fused kernels (TPU inference path only)
 
     @nn.compact
-    def __call__(self, h, cz, cr, cq, *x_list):
+    def __call__(self, h, ctx, *x_list):
+        """ctx: the scale's context injections as ONE (B,H,W,3*hidden)
+        tensor [cz | cr | cq].  Passing the triple pre-split made the three
+        big loop-CONSTANT slices non-contiguous views, and XLA re-copied
+        all three into the scan body every iteration (3x 1.6 ms/loop at
+        1024², device trace r4); sliced here, the slices fuse into the gate
+        adds instead."""
         k, p = self.kernel_size, self.kernel_size // 2
         x = jnp.concatenate(x_list, axis=-1)
+        hd = self.hidden_dim
+        czr, cq = ctx[..., : 2 * hd], ctx[..., 2 * hd :]
 
         kz, bz = ParamConv(self.hidden_dim, k, name="convz")(h.shape[-1] + x.shape[-1])
         kr, br = ParamConv(self.hidden_dim, k, name="convr")(h.shape[-1] + x.shape[-1])
@@ -53,7 +61,7 @@ class ConvGRU(nn.Module):
                 # fuse into the conv accumulator.  No VJP — the caller gates
                 # this to test_mode.
                 return gru_fused(
-                    h, x, cz, cr, cq,
+                    h, x, ctx[..., :hd], ctx[..., hd : 2 * hd], cq,
                     jnp.concatenate([kz, kr], axis=-1),
                     jnp.concatenate([bz, br]),
                     kq, bq,
@@ -77,11 +85,10 @@ class ConvGRU(nn.Module):
         kx_all = jnp.concatenate([kz[:, :, ch:], kr[:, :, ch:], kq[:, :, ch:]], axis=-1)
         x_all = conv(x, kx_all)
         zr_h = conv(h, jnp.concatenate([kz[:, :, :ch], kr[:, :, :ch]], axis=-1))
-        hd = self.hidden_dim
         bzr = jnp.concatenate([bz, br])
         zr = zr_h + x_all[..., : 2 * hd] + bzr.astype(zr_h.dtype)
-        z = jax.nn.sigmoid(zr[..., :hd] + cz)
-        r = jax.nn.sigmoid(zr[..., hd:] + cr)
+        zr = jax.nn.sigmoid(zr + czr)
+        z, r = zr[..., :hd], zr[..., hd:]
         q_h = conv(r * h, kq[:, :, :ch], bq)
         q = jnp.tanh(q_h + x_all[..., 2 * hd :] + cq)
         return (1 - z) * h + z * q
@@ -93,27 +100,30 @@ def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion, fused=False):
     MultiUpdateScalerBlock and RefinementStep.  Must be called inside an
     @nn.compact parent; submodule names (gru32/gru16/gru08) land in the
     caller's scope, preserving the torch-converter paths.  `motion` does not
-    depend on net, so computing it before or after gru16 is equivalent."""
+    depend on net, so computing it before or after gru16 is equivalent.
+
+    inp: per-scale context injections, each ONE (B,H,W,3*hidden) tensor
+    [cz | cr | cq] (see ConvGRU.__call__)."""
     hd = hidden_dims
     net = list(net)
     # fused only at the 1/4 level: it carries ~80% of the GRU FLOPs; at the
     # small levels the Pallas custom-call layout boundary costs XLA more in
     # neighbor relayouts than the kernel saves
     if n_gru_layers == 3:
-        net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
+        net[2] = ConvGRU(hd[0], name="gru32")(net[2], inp[2], pool2x(net[1]))
     if n_gru_layers >= 2:
         if n_gru_layers > 2:
             net[1] = ConvGRU(hd[1], name="gru16")(
-                net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+                net[1], inp[1], pool2x(net[0]), interp_like(net[2], net[1])
             )
         else:
-            net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
+            net[1] = ConvGRU(hd[1], name="gru16")(net[1], inp[1], pool2x(net[0]))
     if n_gru_layers > 1:
         net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(
-            net[0], *inp[0], motion, interp_like(net[1], net[0])
+            net[0], inp[0], motion, interp_like(net[1], net[0])
         )
     else:
-        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(net[0], *inp[0], motion)
+        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(net[0], inp[0], motion)
     return net
 
 
@@ -139,7 +149,22 @@ class MotionEncoder(nn.Module):
         both = jnp.concatenate([corr, corr_mono], axis=-1)  # (B,H,W,72)
         both = jax.nn.relu(paired_conv_apply(both, k1, b1, 1, 0))
         both = jax.nn.relu(paired_conv_apply(both, k2c, b2c, 1, 1))  # [cor|cor_mono]
-        flo = jax.nn.relu(Conv(64, 7, 1, 3, name="convf1")(flow))
+        # convf1's second input channel (flow y) is STRUCTURALLY zero — the
+        # model builds flow as [flow_x, zeros] (reference zeroes delta y at
+        # stereoanywhere.py:277) — so conv(flow, K) == conv(flow_x, K[:,:,:1])
+        # exactly, in value AND gradient (the y taps multiply zeros).  The
+        # 2-channel 7x7 conv was measured 25x over its FLOP floor at 1024²
+        # (tiny-Cin lane waste); halving Cin halves that.  Params stay
+        # (7,7,2,64) for the converter.
+        kf1, bf1 = ParamConv(64, 7, name="convf1")(2)
+        flo = jax.lax.conv_general_dilated(
+            flow[..., 0:1],
+            kf1[:, :, 0:1].astype(flow.dtype),
+            window_strides=(1, 1),
+            padding=((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bf1.astype(flow.dtype)
+        flo = jax.nn.relu(flo)
         flo = jax.nn.relu(Conv(64, 3, 1, 1, name="convf2")(flo))
         out = jax.nn.relu(
             Conv(126, 3, 1, 1, name="_conv")(jnp.concatenate([both, flo], axis=-1))
@@ -160,11 +185,27 @@ class UpdateHead(nn.Module):
 
     hidden_dim: int = 256
     output_dim: int = 1
+    # Emit only the first `out_slice` output channels (kernel sliced before
+    # the conv — exact, not a post-slice).  RefinementStep consumes ONLY the
+    # x-delta (delta_flow[..., 0:1]; the reference zeroes the y component,
+    # stereoanywhere.py:277), so its flow head runs with out_slice=1.
+    # Params stay (3,3,hidden,output_dim) for the converter.
+    out_slice: int | None = None
 
     @nn.compact
     def __call__(self, x):
         x = jax.nn.relu(Conv(self.hidden_dim, 3, 1, 1, name="conv1")(x))
-        return Conv(self.output_dim, 3, 1, 1, name="conv2")(x)
+        k2, b2 = ParamConv(self.output_dim, 3, name="conv2")(self.hidden_dim)
+        if self.out_slice is not None:
+            k2, b2 = k2[..., : self.out_slice], b2[: self.out_slice]
+        y = jax.lax.conv_general_dilated(
+            x,
+            k2.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + b2.astype(y.dtype)
 
 
 class SigmoidUpdateHead(nn.Module):
@@ -356,7 +397,10 @@ class RefinementStep(nn.Module):
             fused=self.fused_gru,
         )
 
-        delta_flow = UpdateHead(256, 2, name="flow_head")(net[0])
+        # out_slice=1: only the x-delta is ever consumed here (the y slot is
+        # the reference's zeroed epipolar component) — the conv2 kernel is
+        # sliced to one output channel, exact in value and gradient.
+        delta_flow = UpdateHead(256, 2, name="flow_head", out_slice=1)(net[0])
 
         mask = None
         if self.compute_mask or self.emit_outputs:

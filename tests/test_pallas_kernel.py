@@ -192,6 +192,45 @@ def test_vit_mlp_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_vit_ln_dense_matches_xla(rng):
+    """Fused LN+matmul kernel (the QKV projection with LN1 absorbed) vs the
+    inline XLA chain, incl. a non-block-multiple token count."""
+    import jax
+
+    from stereoanywhere_tpu.ops.pallas.vit_dense import ln_dense
+
+    b, t, d, f = 2, 200, 256, 768
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    be = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((d, f)) * 0.05).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(f).astype(np.float32))
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    ref = (xc * jax.lax.rsqrt(var + 1e-6) * g + be) @ w + bb
+
+    got = ln_dense(x, g, be, w, bb, block_t=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_vit_dense_scale_residual_matches_xla(rng):
+    """Fused proj+LayerScale+residual kernel vs the inline XLA chain."""
+    from stereoanywhere_tpu.ops.pallas.vit_dense import dense_scale_residual
+
+    b, t, d = 2, 200, 256
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    o = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    w = jnp.asarray((rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+    bb = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    gam = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+
+    ref = x + gam * (o @ w + bb)
+    got = dense_scale_residual(x, o, w, bb, gam, block_t=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_gru_fused_matches_xla(rng):
     """Fused ConvGRU kernels (split h/x weights, VMEM-border conv padding,
     band halo DMA) vs the inline XLA GRU math — incl. edge bands."""
