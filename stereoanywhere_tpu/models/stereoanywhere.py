@@ -183,15 +183,13 @@ class StereoAnywhere(nn.Module):
         net_list = [jnp.tanh(o[0]) for o in cnet_out]
         inp_list = []
         for i, o in enumerate(cnet_out):
-            # kept WHOLE (not pre-split into cz/cr/cq): the split slices of
-            # the 384-lane conv output became non-contiguous scan constants
-            # that XLA re-copied into the loop body every iteration (3 x
-            # 1.6 ms per loop at 1024²); ConvGRU slices lanes in-place where
-            # the slices fuse into the gate adds.
+            # pre-split into (cz, cr, cq): measured BETTER than passing the
+            # whole 3*hd tensor and slicing in the scan body (see the A/B
+            # note in ConvGRU.__call__).
             ctx = Conv(cfg.context_dims[i] * 3, 3, 1, 1, name=f"context_zqr_convs_{i}")(
                 jax.nn.relu(o[1])
             )
-            inp_list.append(ctx)
+            inp_list.append(tuple(jnp.split(ctx, 3, axis=-1)))
 
         # --- feature encoder, both views as one doubled batch (ref :122) ---
         fmaps = FeatureEncoder(cfg.fnet_dim, name="fnet")(
@@ -458,7 +456,7 @@ class StereoAnywhere(nn.Module):
             # path isolates the GRU from the scan).
             fused_gru=False,
         )
-        inp_list = [ctx.astype(cdt) for ctx in inp_list]
+        inp_list = [tuple(t.astype(cdt) for t in triple) for triple in inp_list]
         net_init = tuple(n.astype(cdt) for n in net_list)
 
         # Lookup dispatch.  The Pallas barrel-shift kernel
@@ -523,6 +521,10 @@ class StereoAnywhere(nn.Module):
             # iters-1 light steps (no mask head / mask carry), then ONE
             # unscanned step under the same scope computing the mask the
             # convex upsample consumes (see RefinementStep docstring).
+            # Unroll A/B (round 4, 1024², measured at divisible scan
+            # lengths): unroll=2 is 3.83 ms/iter vs 3.71 at unroll=1 — the
+            # scan glue is per-iteration conv-emitter staging, not
+            # back-edge copies, so unrolling only grows the program.
             carry = (net_init, coords1)
             if iters > 1:
                 step_scan = make_scan(iters - 1, emit_outputs=False, compute_mask=False)

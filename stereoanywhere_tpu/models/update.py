@@ -32,17 +32,17 @@ class ConvGRU(nn.Module):
     fused: bool = False  # Pallas fused kernels (TPU inference path only)
 
     @nn.compact
-    def __call__(self, h, ctx, *x_list):
-        """ctx: the scale's context injections as ONE (B,H,W,3*hidden)
-        tensor [cz | cr | cq].  Passing the triple pre-split made the three
-        big loop-CONSTANT slices non-contiguous views, and XLA re-copied
-        all three into the scan body every iteration (3x 1.6 ms/loop at
-        1024², device trace r4); sliced here, the slices fuse into the gate
-        adds instead."""
+    def __call__(self, h, cz, cr, cq, *x_list):
+        """cz/cr/cq: the scale's context injections, pre-split by the caller.
+
+        A/B note (1024², device traces r4): passing them as ONE [cz|cr|cq]
+        tensor sliced here measured 4.10 ms/iter vs 3.86 for this pre-split
+        form — XLA staged the wider 2hd slice into scoped VMEM every
+        iteration, costing more than the three per-iter const copies the
+        whole-tensor form was meant to remove."""
         k, p = self.kernel_size, self.kernel_size // 2
         x = jnp.concatenate(x_list, axis=-1)
         hd = self.hidden_dim
-        czr, cq = ctx[..., : 2 * hd], ctx[..., 2 * hd :]
 
         kz, bz = ParamConv(self.hidden_dim, k, name="convz")(h.shape[-1] + x.shape[-1])
         kr, br = ParamConv(self.hidden_dim, k, name="convr")(h.shape[-1] + x.shape[-1])
@@ -61,7 +61,7 @@ class ConvGRU(nn.Module):
                 # fuse into the conv accumulator.  No VJP — the caller gates
                 # this to test_mode.
                 return gru_fused(
-                    h, x, ctx[..., :hd], ctx[..., hd : 2 * hd], cq,
+                    h, x, cz, cr, cq,
                     jnp.concatenate([kz, kr], axis=-1),
                     jnp.concatenate([bz, br]),
                     kq, bq,
@@ -87,8 +87,8 @@ class ConvGRU(nn.Module):
         zr_h = conv(h, jnp.concatenate([kz[:, :, :ch], kr[:, :, :ch]], axis=-1))
         bzr = jnp.concatenate([bz, br])
         zr = zr_h + x_all[..., : 2 * hd] + bzr.astype(zr_h.dtype)
-        zr = jax.nn.sigmoid(zr + czr)
-        z, r = zr[..., :hd], zr[..., hd:]
+        z = jax.nn.sigmoid(zr[..., :hd] + cz)
+        r = jax.nn.sigmoid(zr[..., hd:] + cr)
         q_h = conv(r * h, kq[:, :, :ch], bq)
         q = jnp.tanh(q_h + x_all[..., 2 * hd :] + cq)
         return (1 - z) * h + z * q
@@ -102,28 +102,28 @@ def gru_cascade(hidden_dims, n_gru_layers, net, inp, motion, fused=False):
     caller's scope, preserving the torch-converter paths.  `motion` does not
     depend on net, so computing it before or after gru16 is equivalent.
 
-    inp: per-scale context injections, each ONE (B,H,W,3*hidden) tensor
-    [cz | cr | cq] (see ConvGRU.__call__)."""
+    inp: per-scale (cz, cr, cq) triples, pre-split by the caller (see the
+    A/B note in ConvGRU.__call__)."""
     hd = hidden_dims
     net = list(net)
     # fused only at the 1/4 level: it carries ~80% of the GRU FLOPs; at the
     # small levels the Pallas custom-call layout boundary costs XLA more in
     # neighbor relayouts than the kernel saves
     if n_gru_layers == 3:
-        net[2] = ConvGRU(hd[0], name="gru32")(net[2], inp[2], pool2x(net[1]))
+        net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
     if n_gru_layers >= 2:
         if n_gru_layers > 2:
             net[1] = ConvGRU(hd[1], name="gru16")(
-                net[1], inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+                net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
             )
         else:
-            net[1] = ConvGRU(hd[1], name="gru16")(net[1], inp[1], pool2x(net[0]))
+            net[1] = ConvGRU(hd[1], name="gru16")(net[1], *inp[1], pool2x(net[0]))
     if n_gru_layers > 1:
         net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(
-            net[0], inp[0], motion, interp_like(net[1], net[0])
+            net[0], *inp[0], motion, interp_like(net[1], net[0])
         )
     else:
-        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(net[0], inp[0], motion)
+        net[0] = ConvGRU(hd[2], fused=fused, name="gru08")(net[0], *inp[0], motion)
     return net
 
 
@@ -149,22 +149,11 @@ class MotionEncoder(nn.Module):
         both = jnp.concatenate([corr, corr_mono], axis=-1)  # (B,H,W,72)
         both = jax.nn.relu(paired_conv_apply(both, k1, b1, 1, 0))
         both = jax.nn.relu(paired_conv_apply(both, k2c, b2c, 1, 1))  # [cor|cor_mono]
-        # convf1's second input channel (flow y) is STRUCTURALLY zero — the
-        # model builds flow as [flow_x, zeros] (reference zeroes delta y at
-        # stereoanywhere.py:277) — so conv(flow, K) == conv(flow_x, K[:,:,:1])
-        # exactly, in value AND gradient (the y taps multiply zeros).  The
-        # 2-channel 7x7 conv was measured 25x over its FLOP floor at 1024²
-        # (tiny-Cin lane waste); halving Cin halves that.  Params stay
-        # (7,7,2,64) for the converter.
-        kf1, bf1 = ParamConv(64, 7, name="convf1")(2)
-        flo = jax.lax.conv_general_dilated(
-            flow[..., 0:1],
-            kf1[:, :, 0:1].astype(flow.dtype),
-            window_strides=(1, 1),
-            padding=((3, 3), (3, 3)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        ) + bf1.astype(flow.dtype)
-        flo = jax.nn.relu(flo)
+        # A/B note (1024², device trace r4): slicing convf1 to its one
+        # non-zero input channel (flow y is structurally zero) is exact but
+        # measured WORSE (3.65 vs 3.50 ms/loop) — the 7x7 tiny-Cin emitter
+        # is window-overhead-bound, not Cin-bound.  Plain conv kept.
+        flo = jax.nn.relu(Conv(64, 7, 1, 3, name="convf1")(flow))
         flo = jax.nn.relu(Conv(64, 3, 1, 1, name="convf2")(flo))
         out = jax.nn.relu(
             Conv(126, 3, 1, 1, name="_conv")(jnp.concatenate([both, flo], axis=-1))
@@ -191,6 +180,12 @@ class UpdateHead(nn.Module):
     # stereoanywhere.py:277), so its flow head runs with out_slice=1.
     # Params stay (3,3,hidden,output_dim) for the converter.
     out_slice: int | None = None
+    # tap_stack: evaluate conv2 as ONE matmul x @ K9 (the 9 taps stacked as
+    # output columns) followed by a 9-slice shifted add — exact same sums
+    # with zero padding.  The direct co<=2 conv fills 1-2 of the MXU's 128
+    # output lanes and measured 10x over its input-read floor in-scan
+    # (0.21 ms/iter at 1024²); the matmul form reads x once at full rate.
+    tap_stack: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -198,6 +193,28 @@ class UpdateHead(nn.Module):
         k2, b2 = ParamConv(self.output_dim, 3, name="conv2")(self.hidden_dim)
         if self.out_slice is not None:
             k2, b2 = k2[..., : self.out_slice], b2[: self.out_slice]
+        co = k2.shape[-1]
+        if self.tap_stack:
+            bb, hh, ww, _ = x.shape
+            # K9: (hidden, 9*co), column t*co+o = tap (dy,dx)=(t//3,t%3), out o
+            k9 = k2.reshape(9, self.hidden_dim, co).transpose(1, 0, 2).reshape(
+                self.hidden_dim, 9 * co
+            )
+            z = jnp.einsum(
+                "bhwc,cn->bhwn", x, k9.astype(x.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            y = None
+            for t in range(9):
+                dy, dx = t // 3, t % 3
+                term = jax.lax.slice(
+                    zp,
+                    (0, dy, dx, t * co),
+                    (bb, dy + hh, dx + ww, (t + 1) * co),
+                )
+                y = term if y is None else y + term
+            return (y + b2.astype(jnp.float32)).astype(x.dtype)
         y = jax.lax.conv_general_dilated(
             x,
             k2.astype(x.dtype),
@@ -400,7 +417,10 @@ class RefinementStep(nn.Module):
         # out_slice=1: only the x-delta is ever consumed here (the y slot is
         # the reference's zeroed epipolar component) — the conv2 kernel is
         # sliced to one output channel, exact in value and gradient.
-        delta_flow = UpdateHead(256, 2, name="flow_head", out_slice=1)(net[0])
+        # tap_stack: conv2 as matmul + 9-slice add (see UpdateHead).
+        delta_flow = UpdateHead(
+            256, 2, name="flow_head", out_slice=1, tap_stack=True
+        )(net[0])
 
         mask = None
         if self.compute_mask or self.emit_outputs:

@@ -97,17 +97,26 @@ def make_train_step(
     """Returns a jitted train_step(state, batch, rng) -> (state, logs).
 
     batch: dict of NHWC arrays (im2_aug, im3_aug, mono2, mono3, gt, validgt,
-    gt_right, validgt_right), already normalized mono.  When `mesh` is given,
-    batch axes are sharded over 'data'.
+    gt_right, validgt_right); mono2/mono3 may be RAW (un-normalized) mono
+    depth or the gt-as-mono substitution — the joint min-max normalize, the
+    nan_to_num guard and the stop_gradient all run INSIDE this jit.  They
+    used to run as separate eager dispatches per step, which cost ~50 ms of
+    host round-trips through the remote TPU runtime (train wall 355 ms vs
+    device 300 ms, trace 2026-08-20).  When `mesh` is given, batch axes are
+    sharded over 'data'.
+
+    `rng` is the STEP-invariant base key; the per-step corruption key is
+    fold_in(rng, state.step) inside the jit (an eager jax.random.split per
+    step was another host dispatch).
     """
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, mono2, mono3, rng):
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["im2_aug"],
             batch["im3_aug"],
-            batch["mono2"],
-            batch["mono3"],
+            mono2,
+            mono3,
             iters=cfg.train_iters,
             test_mode=False,
             train=True,
@@ -120,15 +129,24 @@ def make_train_step(
             batch["validgt"],
             batch["gt_right"],
             batch["validgt_right"],
-            batch["mono2"],
-            batch["mono3"],
+            mono2,
+            mono3,
             cfg,
         )
         return total, (logs, mutated["batch_stats"])
 
     def train_step(state: TrainState, batch, rng):
+        # reference train.py:253-268: nan_to_num (gt-as-mono guard; identity
+        # on finite live mono) then JOINT min-max normalize, no gradients
+        # through the mono inputs.
+        m2 = jnp.nan_to_num(batch["mono2"], posinf=0.0, neginf=0.0)
+        m3 = jnp.nan_to_num(batch["mono3"], posinf=0.0, neginf=0.0)
+        m2, m3 = joint_minmax_normalize([m2, m3])
+        m2 = jax.lax.stop_gradient(m2)
+        m3 = jax.lax.stop_gradient(m3)
+        step_rng = jax.random.fold_in(rng, state.step)
         (loss, (logs, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
+            state.params, state.batch_stats, batch, m2, m3, step_rng
         )
         if cfg.debug_grad:
             # per-parameter NaN/Inf gradient census (reference --debug_grad,
@@ -222,14 +240,13 @@ class Trainer:
             and self._has_valid_right(batch)
         ):
             # gt-as-mono robustness branch (reference train.py:253-260):
-            # feed the gt disparity pair as the "mono depth" inputs.
-            batch["mono2"] = jnp.nan_to_num(batch["gt"], posinf=0.0, neginf=0.0)
-            batch["mono3"] = jnp.nan_to_num(batch["gt_right"], posinf=0.0, neginf=0.0)
+            # feed the gt disparity pair as the "mono depth" inputs (a host
+            # array swap; the nan_to_num guard + joint normalize run inside
+            # the jitted train_step).
+            batch["mono2"] = batch["gt"]
+            batch["mono3"] = batch["gt_right"]
             used_gt_mono = 1.0
-        mono2, mono3 = joint_minmax_normalize([batch["mono2"], batch["mono3"]])
-        batch["mono2"], batch["mono3"] = jax.lax.stop_gradient(mono2), jax.lax.stop_gradient(mono3)
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, logs = self.train_step(self.state, batch, sub)
+        self.state, logs = self.train_step(self.state, batch, self._rng)
         census = logs.pop("_grad_census", None)
         if census is not None:
             self._dump_grad_census(census)

@@ -160,8 +160,8 @@ def test_multi_update_scaler_block_shapes(rng):
         for s in (1, 2, 4)
     )
     inp = tuple(
-        jnp.asarray(
-            rng.standard_normal(n.shape[:-1] + (3 * n.shape[-1],)).astype(np.float32)
+        tuple(
+            jnp.asarray(rng.standard_normal(n.shape).astype(np.float32)) for _ in range(3)
         )
         for n in net
     )

@@ -55,8 +55,8 @@ def main():
     # --- stage inputs at shipped-config shapes
     net = (arr(b, h4, w4, 128), arr(b, h4 // 2, w4 // 2, 128), arr(b, h4 // 4, w4 // 4, 128))
     inp = tuple(
-        arr(*n.shape[:-1], 3 * n.shape[-1]) for n in net
-    )  # [cz | cr | cq] per scale (one tensor, see ConvGRU)
+        tuple(arr(*n.shape) for _ in range(3)) for n in net
+    )  # (cz, cr, cq) per scale
     motion = arr(b, h4, w4, 128)
     flow2 = arr(b, h4, w4, 2)
     corr = arr(b, h4, w4, 36)
@@ -99,9 +99,9 @@ def main():
     print(f"{'full RefinementStep':40s} {t_full*1e3:8.3f} ms")
 
     # individual stages
-    timeit("gru08 (hx 384ch @1/4)", ConvGRU(128), net[0], inp[0], motion, net[0])
-    timeit("gru16 (@1/8)", ConvGRU(128), net[1], inp[1], net[1], net[1])
-    timeit("gru32 (@1/16)", ConvGRU(128), net[2], inp[2], net[2])
+    timeit("gru08 (hx 384ch @1/4)", ConvGRU(128), net[0], *inp[0], motion, net[0])
+    timeit("gru16 (@1/8)", ConvGRU(128), net[1], *inp[1], net[1], net[1])
+    timeit("gru32 (@1/16)", ConvGRU(128), net[2], *inp[2], net[2])
     timeit("motion encoder", MotionEncoder(), flow2, corr, corr)
     timeit("flow_head (128->256->2)", UpdateHead(256, 2), net[0])
 

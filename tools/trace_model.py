@@ -47,7 +47,11 @@ def summarize(trace_dir: str, top: int, by_source: bool = False) -> None:
             if "TPU" in name or "device" in name.lower():
                 device_pids.add(ev["pid"])
         if ev.get("ph") == "M" and ev.get("name") == "thread_name":
-            if "Module" in ev.get("args", {}).get("name", ""):
+            lane = ev.get("args", {}).get("name", "")
+            # Modules = whole-program umbrellas; Steps = step markers;
+            # TC Overlay = duplicated overlay spans.  All three would
+            # double-count the op lanes.
+            if "Module" in lane or lane in ("Steps", "TC Overlay"):
                 module_lanes.add((ev["pid"], ev.get("tid", 0)))
 
     # The runtime emits NESTED spans on the device op lane (e.g. the GRU
