@@ -174,6 +174,7 @@ def bench_pipeline(size: int = 512) -> float:
         stereo_vars, mono_vars, stereo_cfg, mono_cfg, iters=32
     )
     run = pipe._build(size, size)
+    run_raw = pipe._raw_cache[(size, size)]  # chained_timer applies the top-level jit
 
     rng = np.random.default_rng(0)
     im2, im3 = (
@@ -184,7 +185,7 @@ def bench_pipeline(size: int = 512) -> float:
     out = run(stereo_vars, mono_vars, im2, im3, zero, zero)
     assert np.isfinite(np.asarray(out, dtype=np.float32)).all(), "non-finite pipeline output"
     return chained_timer(
-        lambda sv, mv, a, b: run(sv, mv, a, b, zero, zero),
+        lambda sv, mv, a, b: run_raw(sv, mv, a, b, zero, zero),
         im2,
         im3,
         n_chain=8,

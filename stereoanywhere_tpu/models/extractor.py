@@ -70,6 +70,11 @@ class ResidualBlock(nn.Module):
 
             def unfold_conv(inp, kernel, bias, stride, pad):
                 z = jnp.zeros_like(kernel)
+                if pad:
+                    # pad ONCE, shared by both view convs: with in-conv
+                    # padding XLA materialized a separate 0.82 ms pad op
+                    # per conv on the full-res input (device trace r4)
+                    inp = jnp.pad(inp, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
                 ys = []
                 for kk in (
                     jnp.concatenate([kernel, z], axis=2),
@@ -79,7 +84,7 @@ class ResidualBlock(nn.Module):
                         inp,
                         kk.astype(inp.dtype),
                         (stride, stride),
-                        ((pad, pad), (pad, pad)),
+                        ((0, 0), (0, 0)),
                         dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     )
                     ys.append(y + bias.astype(y.dtype))

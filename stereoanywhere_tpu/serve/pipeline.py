@@ -70,6 +70,7 @@ class StereoAnywherePipeline:
 
             self._row_sharding = NamedSharding(mesh, P(None, shard_axis))
         self._cache: dict = {}
+        self._raw_cache: dict = {}
 
     def _constrain_rows(self, x):
         if self._row_sharding is None:
@@ -85,8 +86,7 @@ class StereoAnywherePipeline:
         if self.mono is not None:
             fh, fw = dav2_input_size(h, w, self.mono_size[0], self.mono_size[1])
 
-        @tpu_jit
-        def run(stereo_vars, mono_vars, im2, im3, mde2, mde3):
+        def run_raw(stereo_vars, mono_vars, im2, im3, mde2, mde3):
             if self.mono is not None:
                 both = jnp.concatenate([im2, im3], axis=0)
                 x = jax.image.resize(both, (2, fh, fw, 3), "cubic")
@@ -107,6 +107,11 @@ class StereoAnywherePipeline:
             disp = out["disparity"]
             return disp[:, t : t + h, l : l + w]
 
+        run = tpu_jit(run_raw)
+        # un-jitted body, for callers that embed the fused graph in a larger
+        # jit (bench.py's chained timer — compiler options only apply at the
+        # top-level jit)
+        self._raw_cache[key] = run_raw
         self._cache[key] = run
         return run
 
