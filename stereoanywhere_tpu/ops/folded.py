@@ -293,6 +293,13 @@ def _banded_kernel_append(
     return k2.reshape(kd, kh, (wb + 2) * ci, wb_out * co)
 
 
+# Default for conv3d_blocked_io's halo_split (A/B switch; see there).
+# Env override SA_HALO_SPLIT=1 for profiling A/Bs without code edits.
+import os as _os
+
+HALO_SPLIT_DEFAULT = _os.environ.get("SA_HALO_SPLIT", "0") == "1"
+
+
 def halo_lanes_append(x: jax.Array, c: int) -> jax.Array:
     """Append ONE left-neighbor tail column and ONE right-neighbor head
     column (at C granularity) to the END of each block's lane axis; W-edge
@@ -313,6 +320,7 @@ def conv3d_blocked_io(
     *,
     w: int,
     out_co_major: bool = False,
+    halo_split: bool | None = None,
 ) -> jax.Array:
     """NDHWC conv3d on the carried block layout, blocked in and out.
 
@@ -335,8 +343,32 @@ def conv3d_blocked_io(
     assert wb % sw == 0, (wb, sw)
     wb_out = wb // sw
 
+    if halo_split is None:
+        halo_split = HALO_SPLIT_DEFAULT
     if kw == 3 and p == 1:
         k2 = _banded_kernel_append(kernel, wb, wb_out, sw, p, x.dtype, out_co_major)
+        if halo_split:
+            # Split-operand form: the banded conv's input rows are
+            # [block | tail | head], so conv(wins, k2) ==
+            # conv(x, k2[:wb*ci]) + conv(halo2c, k2[wb*ci:]) exactly —
+            # the full (wb+2)C windowed tensor (a 1.125x-volume write+read
+            # per conv) never materializes; only the 2C halo lanes do.
+            k_main = k2[:, :, : wb * ci]
+            k_halo = k2[:, :, wb * ci :]
+            xm = x.reshape(b * nb, d, h, wb * ci)
+            tail = jnp.pad(x[..., -ci:], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))[:, :-1]
+            head = jnp.pad(x[..., :ci], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))[:, 1:]
+            halo2 = jnp.concatenate([tail, head], axis=-1).reshape(
+                b * nb, d, h, 2 * ci
+            )
+            y = lax.conv_general_dilated(
+                xm, k_main, (sd, sh), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + lax.conv_general_dilated(
+                halo2, k_halo, (sd, sh), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y.reshape(b, nb, y.shape[1], y.shape[2], wb_out * co)
         wins = halo_lanes_append(x, ci).reshape(b * nb, d, h, (wb + 2) * ci)
     else:
         assert not out_co_major, "co-major output only on the kw==3 path"

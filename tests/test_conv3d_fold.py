@@ -425,3 +425,17 @@ def test_cnet_replicated_input_kernel_sum(rng):
     # identical sums up to f32 accumulation order (kernel Cin-sum first)
     for a, b in zip(jax.tree_util.tree_leaves(o1), jax.tree_util.tree_leaves(o3)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5)
+
+
+def test_blocked_halo_split_exact(rng):
+    """conv3d_blocked_io(halo_split=True) — main conv on the raw block
+    lanes + a 2C-lane halo conv, summed — matches the windowed form."""
+    from stereoanywhere_tpu.ops import folded
+
+    b, nb, d, h, wb, ci, co = 1, 4, 6, 5, 8, 3, 7
+    x = jnp.asarray(rng.standard_normal((b, nb, d, h, wb * ci)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 3, ci, co)) * 0.1).astype(np.float32))
+    for strides in [(1, 1, 1), (2, 2, 2)]:
+        y0 = folded.conv3d_blocked_io(x, k, strides, 1, w=nb * wb, halo_split=False)
+        y1 = folded.conv3d_blocked_io(x, k, strides, 1, w=nb * wb, halo_split=True)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-5)
