@@ -115,10 +115,12 @@ def test_shape_bucketer_caps_compiles():
     from stereoanywhere_tpu.eval.harness import ShapeBucketer
 
     b = ShapeBucketer(multiple=32, max_buckets=3)
+    # widths round to 64 (W/4 % 16 == 0 -> the blocked hourglass's optimal
+    # wb=16 split; 12% measured win at the KITTI geometry), heights to 32
     assert b.bucket_for(40, 64) == (64, 64)
     assert b.bucket_for(38, 62) == (64, 64)       # reuses bucket 1
-    assert b.bucket_for(72, 96) == (96, 96)       # bucket 2
-    assert b.bucket_for(130, 200) == (160, 224)   # bucket 3
+    assert b.bucket_for(72, 96) == (96, 128)      # bucket 2 (width 96 -> 128)
+    assert b.bucket_for(130, 200) == (160, 256)   # bucket 3
     # cap reached: a misfit grows a bucket instead of adding a fourth
     got = b.bucket_for(100, 100)
     assert len(b.buckets) == 3
