@@ -25,6 +25,7 @@ from stereoanywhere_tpu.models.layers import (
     conv_small_cout_packed,
 )
 from stereoanywhere_tpu.ops.interp import (
+    conv3x3_of_resize_halfpix,
     resize_bilinear_align_corners,
     resize_bilinear_halfpix,
 )
@@ -134,19 +135,29 @@ class DPTHead(nn.Module):
         p1 = FeatureFusionBlock(f, name="scratch_refinenet1")(p2, l1)
 
         out = Conv(f // 2, 3, 1, 1, name="scratch_output_conv1")(p1)
-        # align_corners=False upsample (reference dpt.py:148) via constant
-        # interp-matrix matmuls — same values as jax.image.resize 'bilinear',
-        # which lowered to a 3 ms conv/pad chain on v5e (ops/interp.py).
-        out = resize_bilinear_halfpix(out, (patch_h * 14, patch_w * 14))
-        # Output convs (reference dpt.py:60-66): 3x3 f/2->32 then 1x1 32->1.
-        # 32 and 1 output channels fill a fraction of the MXU's 128 lanes; on
-        # accelerators both run column-PACKED (4 output columns in the lane
-        # axis — layers.conv_small_cout_packed, exact same sums): 1.31 ms ->
-        # ~0.3 at 518^2 on v5e.  Param tree identical to the plain convs.
         k20, b20 = ParamConv(32, 3, name="scratch_output_conv2_0")(out.shape[-1])
         k22, b22 = ParamConv(1, 1, name="scratch_output_conv2_2")(32)
-        packed = jax.default_backend() != "cpu"
-        return _output_convs(out, k20, b20, k22, b22, packed=packed)
+        if jax.default_backend() != "cpu":
+            # Fused conv3x3-of-resize (ops/interp.conv3x3_of_resize_halfpix):
+            # the align_corners=False upsample (reference dpt.py:148) and the
+            # first output conv (reference dpt.py:60-66, 3x3 128->32) are
+            # both linear, and commuting the channel reduction BEFORE the
+            # H-upsample matmul is 40 GFLOP instead of 106 — it also removes
+            # the column-packed conv and the 0.45 ms input relayout XLA
+            # emitted for it (device trace r4).  Exact same sums.
+            y = jax.nn.relu(
+                conv3x3_of_resize_halfpix(
+                    out, (patch_h * 14, patch_w * 14), k20, b20
+                )
+            )
+            z = jnp.einsum("bhwc,co->bhwo", y, k22[0, 0].astype(y.dtype)) + b22.astype(
+                y.dtype
+            )
+            return jax.nn.relu(z)
+        # CPU/golden path: sequential resize (constant interp-matrix matmuls
+        # — same values as jax.image.resize 'bilinear') then plain convs.
+        out = resize_bilinear_halfpix(out, (patch_h * 14, patch_w * 14))
+        return _output_convs(out, k20, b20, k22, b22, packed=False)
 
 
 class DepthAnythingV2(nn.Module):

@@ -107,3 +107,23 @@ def test_resize_bilinear_halfpix_matches_jax_image(rng):
         )
         got = np.asarray(resize_bilinear_halfpix(x, hw))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_of_resize_halfpix_exact(rng):
+    """Fused conv3x3-of-resize (the DPT output stage's algebraic
+    rearrangement: channel mix before the H-upsample) vs the sequential
+    resize -> zero-padded conv."""
+    from stereoanywhere_tpu.ops.interp import (
+        conv3x3_of_resize_halfpix,
+        resize_bilinear_halfpix,
+    )
+
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 5)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 5, 4)) * 0.2).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        resize_bilinear_halfpix(x, (31, 38)), k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got = conv3x3_of_resize_halfpix(x, (31, 38), k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
