@@ -233,6 +233,14 @@ def conv_small_cout_packed(
     format); FLOPs grow (kw+pack-1)/kw but lane utilization grows pack-fold.
     Measured: 1.31 ms -> ~0.3 ms for the head's output convs.
 
+    STATUS (round 4): superseded on the DPT path by
+    ops/interp.conv3x3_of_resize_halfpix (the conv folds into the preceding
+    resize's matmuls: 0.80 ms for the whole output stage vs ~1.5 here incl.
+    the input relayout).  Kept as a tested building block for small-Cout
+    convs that do NOT follow a linear resize.  Also measured NEGATIVE
+    in-scan for the GRU flow head (see UpdateHead) — the tap-stack matmul
+    form won there instead.
+
     x: (B, H, W, Cin); kernel: (kh, kw, Cin, Cout), symmetric torch padding.
     Returns (B, H, W, pack*Cout) column-packed output — `unpack_columns`
     restores (B, H, W, Cout); or feed a following 1x1 conv directly in the
