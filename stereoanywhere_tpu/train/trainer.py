@@ -111,6 +111,18 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch, mono2, mono3, rng):
+        if cfg.things_to_freeze:
+            # stop_gradient on the frozen subtrees: XLA dead-code-eliminates
+            # their entire backward (the reference's requires_grad=False
+            # skips it the same way, train.py freeze semantics) — with fnet
+            # frozen (the shipped config) this removes the fnet backward
+            # AND the volume->fmap VJP matmuls.  Also makes the grad_norm
+            # log match torch (frozen params contribute nothing; the
+            # masked-clip subset was already correct).
+            mask = freeze_mask(params, cfg.things_to_freeze)
+            params = jax.tree.map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p), params, mask
+            )
         outputs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["im2_aug"],
