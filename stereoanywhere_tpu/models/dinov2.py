@@ -238,9 +238,13 @@ class Block(nn.Module):
         g, bln = _LayerNormParams(name="norm2")(d)
         w1, b1, w2, b2 = _MlpParams(int(d * self.mlp_ratio), name="mlp")(d)
         if jax.default_backend() == "tpu" and d % 128 == 0:
+            import os
+
             from stereoanywhere_tpu.ops.pallas.vit_mlp import vit_mlp
 
-            ffn = vit_mlp(x, g, bln, w1, b1, w2, b2)
+            # SA_MLP_BLOCK_T: in-model block-size sweep knob (profiling)
+            bt = int(os.environ.get("SA_MLP_BLOCK_T", "256"))
+            ffn = vit_mlp(x, g, bln, w1, b1, w2, b2, block_t=bt)
         else:
             xf = x.astype(jnp.float32)
             mu = jnp.mean(xf, axis=-1, keepdims=True)
