@@ -222,9 +222,32 @@ def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Arra
     return summed / (kernel * kernel)
 
 
-def pool2x(x: jax.Array) -> jax.Array:
-    """3x3 stride-2 pad-1 average pool (reference update.py:124-125)."""
-    return avg_pool2d(x, 3, 2, 1)
+def pool2x(x: jax.Array, slices: bool | None = None) -> jax.Array:
+    """3x3 stride-2 pad-1 average pool (reference update.py:124-125).
+
+    slices=True computes it as 9 shifted strided slices of a zero-padded
+    copy summed — exact same sums.  Measured CATASTROPHICALLY negative
+    in-scan (A/B, 1024², r4): loop 3.71 -> 5.87 ms/iter — stride-2
+    sublane/lane slices force relayouts on every consumer; the
+    reduce_window emitter (77 µs/iter vs a 26 µs read floor) stays the
+    default.  Env SA_POOL_SLICES=1 only for profiling."""
+    if slices is None:
+        import os
+
+        slices = os.environ.get("SA_POOL_SLICES", "0") == "1"
+    if not slices:
+        return avg_pool2d(x, 3, 2, 1)
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ho, wo = (h + 1) // 2, (w + 1) // 2
+    acc = None
+    for dy in range(3):
+        for dx in range(3):
+            t = lax.slice(
+                xp, (0, dy, dx, 0), (b, dy + 2 * ho - 1, dx + 2 * wo - 1, c), (1, 2, 2, 1)
+            )
+            acc = t if acc is None else acc + t
+    return acc / 9.0
 
 
 def pool4x(x: jax.Array) -> jax.Array:

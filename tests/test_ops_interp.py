@@ -127,3 +127,16 @@ def test_conv3x3_of_resize_halfpix_exact(rng):
     ) + b
     got = conv3x3_of_resize_halfpix(x, (31, 38), k, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pool2x_slices_exact(rng):
+    """pool2x(slices=True) — 9 shifted strided slices summed — matches the
+    reduce_window form (torch count_include_pad avg-pool semantics)."""
+    from stereoanywhere_tpu.ops.interp import pool2x
+
+    for (h, w) in [(8, 12), (64, 96), (7, 9)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 5)).astype(np.float32))
+        a = pool2x(x, slices=False)
+        b = pool2x(x, slices=True)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6, atol=1e-6)
