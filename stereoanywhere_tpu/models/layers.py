@@ -62,7 +62,12 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     x = jax.lax.optimization_barrier(x)
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    spec = "bhwc" if x.ndim == 4 else "bdhwc"
+    n = 1
+    for a in axes:
+        n *= x.shape[a]
+    s2 = jnp.einsum(f"{spec},{spec}->bc", x, x, preferred_element_type=jnp.float32)
+    mean_sq = (s2 / n).reshape(mean.shape)
     var = mean_sq - jnp.square(mean)
     inv = (jax.lax.rsqrt(var + eps)).astype(x.dtype)
     return (x - mean.astype(x.dtype)) * inv
@@ -94,7 +99,12 @@ class BatchNorm(nn.Module):
             x = jax.lax.optimization_barrier(x)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
-            var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=axes) - jnp.square(mean)
+            spec = "bhwc"[4 - x.ndim :] if x.ndim <= 4 else "bdhwc"
+            n_el = 1
+            for a in axes:
+                n_el *= x.shape[a]
+            s2 = jnp.einsum(f"{spec},{spec}->c", x, x, preferred_element_type=jnp.float32)
+            var = s2 / n_el - jnp.square(mean)
             if not self.is_initializing():
                 # torch updates running_var with the UNBIASED batch variance
                 # (Bessel n/(n-1)) while normalizing with the biased one

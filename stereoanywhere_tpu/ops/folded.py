@@ -130,8 +130,12 @@ def instance_norm_folded(x: jax.Array, c: int, eps: float = 1e-5) -> jax.Array:
     w = wc // c
     n = d * h * w
     s = jnp.sum(x, axis=(1, 2), dtype=jnp.float32).reshape(b, w, c).sum(axis=1)
+    # square-sum as a bf16-input multiply-reduce with f32 accumulation: an
+    # explicit x.astype(f32) is a convert op XLA can output-fuse into the
+    # producing conv, materializing the full activation in f32 (measured:
+    # 137 MB per decoder conv at 1024²); the einsum form never creates it.
     s2 = (
-        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        jnp.einsum("bdhw,bdhw->bw", x, x, preferred_element_type=jnp.float32)
         .reshape(b, w, c)
         .sum(axis=1)
     )
@@ -398,8 +402,14 @@ def instance_norm_blocked(x: jax.Array, c: int, eps: float = 1e-5) -> jax.Array:
     wb = wbc // c
     n = nb * d * h * wb
     s = jnp.sum(x, axis=(1, 2, 3), dtype=jnp.float32).reshape(b, wb, c).sum(axis=1)
+    # square-sum as a bf16-input multiply-reduce with f32 accumulation (no
+    # explicit upcast of x).  A/B at 1024² (r4): neutral vs
+    # square(x.astype(f32)) — AND a full dot-form stats path with zero
+    # convert ops was neutral too, so the decoder convs' f32 outputs are
+    # XLA's layout choice at the barrier, not convert fusion; kept for the
+    # cheaper HLO.  See instance_norm_folded.
     s2 = (
-        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2, 3))
+        jnp.einsum("bndhw,bndhw->bw", x, x, preferred_element_type=jnp.float32)
         .reshape(b, wb, c)
         .sum(axis=1)
     )
