@@ -397,6 +397,70 @@ def cmd_infer(args):
     print(f"disparity range [{disp.min():.2f}, {disp.max():.2f}] -> {args.output}")
 
 
+def cmd_camera(args):
+    """Live capture loop (reference demo/fast_demo_oak.py): frames from an
+    OAK-D camera (needs depthai) or replayed from directories, inferred
+    locally or via a remote `cli.py serve` endpoint, EMA-smoothed, written
+    as colormapped PNGs."""
+    import glob
+
+    import numpy as np
+    from PIL import Image
+
+    from stereoanywhere_tpu.serve.camera import (
+        CaptureLoop,
+        DirectorySource,
+        OakDSource,
+        disparity_frame,
+    )
+
+    if args.source == "oak":
+        source = OakDSource(resolution=args.resolution)
+    else:
+        lefts, rights = sorted(glob.glob(args.left_glob)), sorted(glob.glob(args.right_glob))
+        source = DirectorySource(lefts, rights, loop=args.loop)
+
+    if args.server:
+        import functools
+
+        from stereoanywhere_tpu.serve.client import infer_remote
+
+        infer = functools.partial(infer_remote, args.server)
+    else:
+        import jax.numpy as jnp
+
+        from stereoanywhere_tpu.config import StereoAnywhereConfig
+        from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline
+
+        cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
+        _, variables = _load_stereo(args.checkpoint, cfg)
+        _, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
+        pipe = StereoAnywherePipeline(variables, mono_vars, cfg, iters=args.iters)
+
+        def infer(l, r):
+            return np.asarray(pipe(jnp.asarray(l)[None], jnp.asarray(r)[None]))[0, ..., 0]
+
+    os.makedirs(args.output, exist_ok=True)
+
+    def on_frame(res):
+        Image.fromarray(disparity_frame(res["smoothed"])).save(
+            os.path.join(args.output, f"frame_{res['index']:05d}.png")
+        )
+        if res["sgm"] is not None:  # the OAK's on-board SGM comparison stream
+            Image.fromarray(disparity_frame(res["sgm"])).save(
+                os.path.join(args.output, f"frame_{res['index']:05d}_sgm.png")
+            )
+        print(f"frame {res['index']}  {res['fps']:.1f} fps")
+
+    n = CaptureLoop(
+        infer,
+        ema_alpha=args.ema_alpha,
+        clip=(args.clip_top, args.clip_bottom, args.clip_left, args.clip_right),
+        on_frame=on_frame,
+    ).run(source, max_frames=args.max_frames)
+    print(f"{n} frames -> {args.output}")
+
+
 def cmd_serve(args):
     from stereoanywhere_tpu.config import StereoAnywhereConfig
     from stereoanywhere_tpu.serve.pipeline import StereoAnywherePipeline, serve_http
@@ -507,6 +571,21 @@ def main(argv=None):
     common(ps)
     ps.add_argument("--port", type=int, default=8008)
     ps.set_defaults(fn=cmd_serve)
+
+    pcam = sub.add_parser("camera", help="live capture loop (OAK-D or replay)")
+    common(pcam)
+    pcam.add_argument("--source", default="dir", choices=["dir", "oak"])
+    pcam.add_argument("--left-glob", default="left/*.png")
+    pcam.add_argument("--right-glob", default="right/*.png")
+    pcam.add_argument("--loop", action="store_true", help="replay forever")
+    pcam.add_argument("--resolution", default="400", choices=["400", "720", "800"])
+    pcam.add_argument("--server", default=None, help="remote serve endpoint")
+    pcam.add_argument("-o", "--output", default="camera_out")
+    pcam.add_argument("--ema-alpha", type=float, default=0.15)
+    pcam.add_argument("--max-frames", type=int, default=None)
+    for side in ("top", "bottom", "left", "right"):
+        pcam.add_argument(f"--clip-{side}", type=int, default=0)
+    pcam.set_defaults(fn=cmd_camera)
 
     args = p.parse_args(argv)
     return args.fn(args)
