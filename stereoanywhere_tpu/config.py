@@ -69,6 +69,13 @@ class StereoAnywhereConfig:
     # Pallas kernel (inference-only, TPU-only — falls back to inline
     # elsewhere).
     lookup_impl: str = "auto"
+    # Level-0-fused refinement loop (ops/pallas/step_fused.py): the rotated
+    # scan body runs the whole quarter-res plane in three Pallas kernels.
+    # "auto": on for TPU inference when shapes allow; "on": force (TPU);
+    # "interpret": force with interpreted kernels (CPU tests); "off": the
+    # XLA scan body.  Training always uses the XLA body (kernels have no
+    # VJP).
+    fused_level0: str = "auto"
     # GRU-loop unroll (largest divisor of iters <= this is used).  Measured
     # flat on v5e at 512^2 (the loop is not dispatch-bound) while multiplying
     # compile time; keep 1 unless re-measuring on new hardware.

@@ -517,7 +517,70 @@ class StereoAnywhere(nn.Module):
                 unroll=unroll,
             )(**step_kw, **kw, name="update_block")
 
-        if test_mode:
+        # Level-0-fused rotated schedule (ops/pallas/step_fused.py): the
+        # scan body runs the whole quarter-res plane in three Pallas
+        # kernels; one un-rotated PRE-step (the XLA body minus the flow
+        # head) and a flow-head/mask TAIL bracket the scan — an exact loop
+        # rotation of the reference iteration (stereoanywhere.py:267-294).
+        from stereoanywhere_tpu.ops.pallas.step_fused import fused_step_supported
+
+        use_fused_step = (
+            test_mode
+            and cfg.fused_level0 != "off"
+            and (
+                cfg.fused_level0 in ("on", "interpret")
+                or jax.default_backend() == "tpu"
+            )
+            and not use_barrel
+            and cfg.n_gru_layers == 3
+            and tuple(cfg.context_dims) == (128, 128, 128)
+            and cfg.corr_radius == 4
+            and fused_step_supported(net_init[0])
+        )
+
+        if test_mode and use_fused_step:
+            from stereoanywhere_tpu.models.update import FusedRefinementStep
+
+            fkw = dict(
+                hidden_dims=tuple(cfg.context_dims),
+                n_gru_layers=cfg.n_gru_layers,
+                corr_radius=cfg.corr_radius,
+                compute_dtype=cfg.compute_dtype,
+                interpret=cfg.fused_level0 == "interpret",
+            )
+            scan_f = None
+            if iters > 1:
+                scan_f = nn.scan(
+                    FusedRefinementStep,
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    in_axes=nn.broadcast,
+                    out_axes=0,
+                    length=iters - 1,
+                )(**fkw, name="update_block")
+            pre = RefinementStep(
+                **step_kw, emit_outputs=False, compute_mask=False,
+                skip_flow_head=True,
+                name=None if scan_f is not None else "update_block",
+            )
+            anchor = scan_f if scan_f is not None else pre
+            if scan_f is not None:
+                nn.share_scope(pre, scan_f)
+            (net_c, coords1), _ = pre((net_init, coords1), consts)
+            if scan_f is not None:
+                czrq0 = jnp.concatenate(inp_list[0], axis=-1)
+                consts_f = (
+                    stereo_pyr.levels, mono_pyr.levels, inp_list, czrq0,
+                    coords0[..., 0],
+                )
+                (net_c, cn_sq), _ = scan_f((net_c, coords1[..., 0]), consts_f)
+                coords1 = cn_sq[..., None]
+            tail = RefinementStep(
+                **step_kw, emit_outputs=False, compute_mask=True, tail_only=True
+            )
+            nn.share_scope(tail, anchor)
+            (net_final, coords1), mask_final = tail((net_c, coords1), consts)
+        elif test_mode:
             # iters-1 light steps (no mask head / mask carry), then ONE
             # unscanned step under the same scope computing the mask the
             # convex upsample consumes (see RefinementStep docstring).

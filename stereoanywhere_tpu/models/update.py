@@ -373,6 +373,14 @@ class RefinementStep(nn.Module):
     lookup_impl: str = "lagged"
     lookup_wls: tuple = ()
     fused_gru: bool = False  # Pallas fused ConvGRU (TPU test-mode only)
+    # skip_flow_head: run lookup+motion+gru but leave coords unchanged and
+    # declare no flow-head params — the PRE-step of the rotated fused-step
+    # schedule (ops/pallas/step_fused.py docstring).
+    skip_flow_head: bool = False
+    # tail_only: skip lookup/motion/gru entirely; just apply the flow head
+    # (+ optional mask head) to the carried net — the TAIL of the rotated
+    # schedule.  Identical math to the un-rotated loop's final ops.
+    tail_only: bool = False
 
     @nn.compact
     def __call__(self, carry, consts):
@@ -389,6 +397,8 @@ class RefinementStep(nn.Module):
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         coords1 = jax.lax.stop_gradient(coords1)
+        if self.tail_only:
+            return self._tail(net, coords1, coords0, cdt)
         lookup_x = coords1[..., 0]
         if self.lookup_impl == "barrel":
             from stereoanywhere_tpu.ops.pallas.corr_barrel import lookup_packed_pair
@@ -414,6 +424,15 @@ class RefinementStep(nn.Module):
             fused=self.fused_gru,
         )
 
+        if self.skip_flow_head:
+            net = [n.astype(cdt) for n in net]
+            return (tuple(net), coords1), 0
+        return self._tail(net, coords1, coords0, cdt)
+
+    def _tail(self, net, coords1, coords0, cdt):
+        """Flow head + optional mask head + epipolar coordinate update —
+        the common tail of the loop body (also used standalone after the
+        rotated fused-step scan)."""
         # out_slice=1: only the x-delta is ever consumed here (the y slot is
         # the reference's zeroed epipolar component) — the conv2 kernel is
         # sliced to one output channel, exact in value and gradient.
@@ -438,3 +457,115 @@ class RefinementStep(nn.Module):
         else:
             out = mask if self.compute_mask else 0
         return (tuple(net), coords1_new), out
+
+
+class _ShellParams(nn.Module):
+    """Declares conv params under the SAME flax paths (and with the same
+    shapes/inits) as the XLA modules, without tracing their compute — the
+    rotated fused-step scan body (FusedRefinementStep) reads raw kernels
+    for its Pallas calls while sharing parameters with the un-rotated
+    pre/tail steps via nn.share_scope."""
+
+    @nn.compact
+    def __call__(self):
+        enc = [
+            ParamConv(64, 1, name="convc1")(36),
+            ParamConv(64, 3, name="convc2")(64),
+            ParamConv(64, 7, name="convf1")(2),
+            ParamConv(64, 3, name="convf2")(64),
+            ParamConv(126, 3, name="_conv")(192),
+        ]
+        return enc
+
+
+class FusedRefinementStep(nn.Module):
+    """Rotated scan body of the level-0-fused refinement loop:
+
+        delta = flow_head(net0); coords += delta; corrfeat = lookup(coords)
+        [XLA: gru32, gru16, interp]; motion = enc(corrfeat, flow)
+        net0 = gru08(net0, motion, interp(net1))
+
+    Exact loop rotation of RefinementStep's body (see
+    ops/pallas/step_fused.py docstring); the quarter-res plane runs in
+    three Pallas kernels, only the 1/8 and 1/16 planes stay in XLA.
+    Parameter paths are identical to RefinementStep's (shared scope).
+
+    carry  = (net tuple, coords1 (B,H4,W4) f32 — squeezed x-coordinate)
+    consts = (stereo levels, mono levels, inp triples for ALL scales,
+              czrq0 = concat(inp[0]) precomputed outside the scan,
+              coords0 (B,H4,W4) squeezed)
+    """
+
+    hidden_dims: Sequence[int] = (128, 128, 128)
+    n_gru_layers: int = 3
+    corr_radius: int = 4
+    compute_dtype: str = "float32"
+    interpret: bool = False  # Pallas interpret mode (CPU integration tests)
+
+    @nn.compact
+    def __call__(self, carry, consts):
+        import jax.numpy as jnp
+
+        from stereoanywhere_tpu.ops.pallas import step_fused as sf
+
+        net, coords1 = carry
+        stereo_levels, mono_levels, inp, czrq0, coords0 = consts
+        cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        hd = self.hidden_dims
+        coords1 = jax.lax.stop_gradient(coords1)
+
+        # --- parameter shells (paths identical to the XLA modules) --------
+        fh = _FlowHeadShell(name="flow_head")()
+        enc = _ShellParams(name="encoder")()
+        gz, gr, gq = _GruShell(name="gru08")()
+
+        hw = sf.pack_head_weights(fh[0][0], fh[0][1], fh[1][0], fh[1][1], cdt)
+        mw = sf.pack_motion_weights(
+            enc[0][0], enc[0][1], enc[1][0], enc[1][1], enc[2][0], enc[2][1],
+            enc[3][0], enc[3][1], enc[4][0], enc[4][1],
+            len(stereo_levels), self.corr_radius, cdt,
+        )
+        gw = sf.pack_gru_weights(gz[0], gz[1], gr[0], gr[1], gq[0], gq[1], cdt)
+
+        # --- kernel L: flow head + coords update + dual lookup ------------
+        cn, corrfeat = sf.fused_step_head(
+            net[0], coords1, stereo_levels, mono_levels, hw,
+            radius=self.corr_radius, interpret=self.interpret,
+        )
+
+        # --- small planes in XLA (reference update.py:164-183 order) ------
+        net = list(net)
+        if self.n_gru_layers == 3:
+            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
+        net[1] = ConvGRU(hd[1], name="gru16")(
+            net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+        )
+        xup = interp_like(net[1], net[0]).astype(cdt)
+
+        # --- kernels F1/F2: motion encoder + level-0 ConvGRU --------------
+        flowcols = sf.make_flowcols((cn - coords0).astype(cdt))
+        motion = sf.fused_step_motion(corrfeat, flowcols, mw, interpret=self.interpret)
+        net[0] = sf.fused_step_gru(
+            net[0].astype(cdt), motion, xup, czrq0, gw, interpret=self.interpret
+        )
+        net = [n.astype(cdt) for n in net]
+        return (tuple(net), cn), 0
+
+
+class _FlowHeadShell(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return (
+            ParamConv(256, 3, name="conv1")(128),
+            ParamConv(2, 3, name="conv2")(256),
+        )
+
+
+class _GruShell(nn.Module):
+    @nn.compact
+    def __call__(self):
+        return (
+            ParamConv(128, 3, name="convz")(384),
+            ParamConv(128, 3, name="convr")(384),
+            ParamConv(128, 3, name="convq")(384),
+        )

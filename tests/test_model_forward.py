@@ -182,3 +182,30 @@ def test_paired_feature_encoder_exact():
     yp = paired.apply(variables, x, train=False)
     yu = unpaired.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yu), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_level0_matches_xla_forward(rng):
+    """Full-forward integration: the rotated level-0-fused schedule
+    (cfg.fused_level0='interpret', Pallas kernels interpreted on CPU) vs
+    the XLA scan body — identical math up to dot reassociation."""
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    h = w = 64
+    ins = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
+        for c in (3, 3, 1, 1)
+    )
+    cfg_off = StereoAnywhereConfig(fused_level0="off")
+    cfg_on = StereoAnywhereConfig(fused_level0="interpret")
+    m_off = StereoAnywhere(cfg_off)
+    m_on = StereoAnywhere(cfg_on)
+    variables = m_off.init(jax.random.PRNGKey(0), *ins, iters=2, test_mode=True)
+    ref = m_off.apply(variables, *ins, iters=3, test_mode=True)["disparity"]
+    got = m_on.apply(variables, *ins, iters=3, test_mode=True)["disparity"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+    )

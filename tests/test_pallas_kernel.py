@@ -262,3 +262,79 @@ def test_gru_fused_matches_xla(rng):
 
     got = gru_fused(hid, x, cz, cr, cq, wzr, bzr, wq, bq, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused level-0 step kernels (ops/pallas/step_fused.py)
+
+
+def _sf_inputs(rng, b=1, h=32, w2=64, dt=jnp.float32):
+    import jax.numpy as jnp  # noqa: F811
+
+    def arr(*shape, scale=1.0):
+        return jnp.asarray(
+            rng.standard_normal(shape).astype(np.float32) * scale, dtype=dt
+        )
+
+    hcar = arr(b, h, w2, 128)
+    coords0 = jnp.broadcast_to(
+        jnp.arange(w2, dtype=jnp.float32)[None, None, :], (b, h, w2)
+    )
+    coords = coords0 - jnp.abs(
+        jnp.asarray(rng.standard_normal((b, h, w2)).astype(np.float32) * 5.0)
+    )
+    levels_a, levels_b, wl = [], [], w2
+    for _ in range(4):
+        levels_a.append(arr(b, h, w2, wl))
+        levels_b.append(arr(b, h, w2, wl))
+        wl //= 2
+    return hcar, coords0, coords, levels_a, levels_b, arr
+
+
+def test_fused_step_head_matches_ref(rng):
+    from stereoanywhere_tpu.ops.pallas import step_fused as sf
+
+    h, coords0, coords, la, lb, arr = _sf_inputs(rng)
+    kf1, bf1 = arr(3, 3, 128, 256, scale=0.05), arr(256, scale=0.1)
+    k2, b2 = arr(3, 3, 256, 2, scale=0.05), arr(2, scale=0.1)
+    hw = sf.pack_head_weights(kf1, bf1, k2, b2, jnp.float32)
+    cn, cf = sf.fused_step_head(h, coords, la, lb, hw, interpret=True)
+    cn_r, cf_r = sf.step_head_ref(h, coords, la, lb, kf1, bf1, k2, b2)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(cn_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(cf), np.asarray(cf_r), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_step_motion_matches_ref(rng):
+    from stereoanywhere_tpu.ops.pallas import step_fused as sf
+
+    h, coords0, coords, la, lb, arr = _sf_inputs(rng)
+    cf = arr(1, 32, 64, 128, scale=0.5)
+    cf = cf.at[..., 72:].set(0.0)
+    k1, b1 = arr(1, 1, 36, 64, scale=0.1), arr(64, scale=0.1)
+    k2c, b2c = arr(3, 3, 64, 64, scale=0.05), arr(64, scale=0.1)
+    kcf1, bcf1 = arr(7, 7, 2, 64, scale=0.05), arr(64, scale=0.1)
+    kcf2, bcf2 = arr(3, 3, 64, 64, scale=0.05), arr(64, scale=0.1)
+    kmc, bmc = arr(3, 3, 192, 126, scale=0.05), arr(126, scale=0.1)
+    mw = sf.pack_motion_weights(
+        k1, b1, k2c, b2c, kcf1, bcf1, kcf2, bcf2, kmc, bmc, 4, 4, jnp.float32
+    )
+    flowcols = sf.make_flowcols((coords - coords0).astype(jnp.float32))
+    mo = sf.fused_step_motion(cf, flowcols, mw, interpret=True)
+    mo_r = sf.step_motion_ref(cf, coords, k1, b1, k2c, b2c, kcf1, bcf1, kcf2, bcf2, kmc, bmc)
+    np.testing.assert_allclose(np.asarray(mo), np.asarray(mo_r), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_step_gru_matches_ref(rng):
+    from stereoanywhere_tpu.ops.pallas import step_fused as sf
+
+    h, coords0, coords, la, lb, arr = _sf_inputs(rng)
+    mo = arr(1, 32, 64, 128)
+    xup = arr(1, 32, 64, 128)
+    czrq = arr(1, 32, 64, 384, scale=0.3)
+    kz, bz = arr(3, 3, 384, 128, scale=0.05), arr(128, scale=0.1)
+    kr, br_ = arr(3, 3, 384, 128, scale=0.05), arr(128, scale=0.1)
+    kq, bq = arr(3, 3, 384, 128, scale=0.05), arr(128, scale=0.1)
+    gw = sf.pack_gru_weights(kz, bz, kr, br_, kq, bq, jnp.float32)
+    hn = sf.fused_step_gru(h, mo, xup, czrq, gw, interpret=True)
+    hn_r = sf.step_gru_ref(h, mo, xup, czrq, kz, bz, kr, br_, kq, bq)
+    np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_r), rtol=1e-4, atol=1e-5)
