@@ -76,6 +76,12 @@ class StereoAnywhereConfig:
     # XLA scan body.  Training always uses the XLA body (kernels have no
     # VJP).
     fused_level0: str = "auto"
+    # Internal width alignment for wide inference inputs (see the geometry
+    # note in models/stereoanywhere.py): replicate-pad W to a multiple of
+    # `width_pad_align` when W >= width_pad_min in test mode, crop the
+    # disparity back.  0 disables.
+    width_pad_align: int = 64
+    width_pad_min: int = 640
     # GRU-loop unroll (largest divisor of iters <= this is used).  Measured
     # flat on v5e at 512^2 (the loop is not dispatch-bound) while multiplying
     # compile time; keep 1 unless re-measuring on new hardware.

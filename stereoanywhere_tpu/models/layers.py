@@ -62,7 +62,7 @@ def instance_norm(x: jax.Array, eps: float = 1e-5) -> jax.Array:
     x = jax.lax.optimization_barrier(x)
     axes = tuple(range(1, x.ndim - 1))
     mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-    spec = "bhwc" if x.ndim == 4 else "bdhwc"
+    spec = "b" + "xyzuv"[: x.ndim - 2] + "c"  # rank-generic NHWC/NDHWC/...
     n = 1
     for a in axes:
         n *= x.shape[a]

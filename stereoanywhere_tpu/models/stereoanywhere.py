@@ -141,6 +141,33 @@ class StereoAnywhere(nn.Module):
     ) -> dict[str, Any]:
         cfg = self.cfg
         b, h, w, c = image2.shape
+
+        # --- internal width alignment (TPU geometry fix) -------------------
+        # KITTI's pad-32 width (1248 -> W/4 = 312 = 8*39) denies the blocked
+        # hourglass its wb=16 split: 384x1248 measures 165.5 ms vs 145.8 at
+        # 384x1280 on v5e — 12% slower despite 2.6% fewer pixels
+        # (ARCHITECTURE.md geometry finding).  For large inference inputs,
+        # replicate-pad the width to a multiple of 64 (W/4 % 16 == 0) and
+        # crop the disparity back — the same protocol-sanctioned border the
+        # eval harness's ShapeBucketer adds, now built into the model so
+        # raw-shape serving gets the fast geometry too.  Gated to wide
+        # inputs so small/golden-test shapes are untouched bit-for-bit.
+        w_orig = None
+        if (
+            test_mode
+            and not debug
+            and cfg.width_pad_align
+            and w >= cfg.width_pad_min
+            and w % cfg.width_pad_align != 0
+        ):
+            w_orig = w
+            w = -(-w // cfg.width_pad_align) * cfg.width_pad_align
+            pads = ((0, 0), (0, 0), (0, w - w_orig), (0, 0))
+            image2 = jnp.pad(image2, pads, mode="edge")
+            image3 = jnp.pad(image3, pads, mode="edge")
+            mde2 = jnp.pad(mde2, pads, mode="edge")
+            mde3 = jnp.pad(mde3, pads, mode="edge")
+
         f = cfg.downsample_factor
         h4, w4 = h // f, w // f
         w_lowres = w4
@@ -612,6 +639,8 @@ class StereoAnywhere(nn.Module):
                 flow_x, mask_final.astype(jnp.float32), cfg.n_downsample
             )
             result["disparity"] = -flow_up
+            if w_orig is not None:
+                result["disparity"] = result["disparity"][:, :, :w_orig]
         else:
             flows, masks = ys  # (iters,B,h4,w4,1), (iters,B,h4,w4,9ff)
             it = flows.shape[0]

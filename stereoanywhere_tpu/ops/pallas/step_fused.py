@@ -64,11 +64,12 @@ def _dot(a, b, prec=None):
     reference); HIGHEST restores full f32 products — the f32 path only runs
     in tests, so the 3x pass cost is irrelevant.  bf16 stays on the fast
     single-pass path."""
-    if prec is None:
+    import os
+
+    mode = os.environ.get("SA_SF_PREC", "highest")
+    if prec is None and mode != "none" and a.dtype == jnp.float32:
         prec = (
-            jax.lax.Precision.HIGHEST
-            if a.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
+            jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
         )
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
@@ -263,14 +264,15 @@ def _stage_mask(i, hal, htot, w2, rows, width, col_img, dt):
     return ok.astype(dt)[..., None]
 
 
-def _conv3x3(slabs_ws, rows_out, row0, wc, col0=8, chunk=4):
+def _conv3x3(slabs_ws, rows_out, row0, wc, col0=8, chunk=4, sink=None):
     """3x3 conv as 9 shifted MXU dots, summed over one or more
     (slab, (3,3,Cin,Co) weight-ref) input streams (the split-operand form
     of a conv over a channel concat).  Output value row r corresponds to
     slab row row0+r (row0 = slab_halo - out_extent); reads slab rows
     [row0-1+dy+r] and cols [col0-1+dx, col0-1+dx+wc); returns an f32
     (rows_out, wc, Co) value, accumulated in `chunk`-row chunks to bound
-    the f32 accumulator footprint."""
+    the f32 accumulator footprint.  With `sink(chunk_f32, r0, n)` the chunks
+    are handed off instead (no full-size f32 value ever materializes)."""
     co = slabs_ws[0][1].shape[-1]
     outs = []
     for r0 in range(0, rows_out, chunk):
@@ -287,7 +289,12 @@ def _conv3x3(slabs_ws, rows_out, row0, wc, col0=8, chunk=4):
                     ].reshape(n * wc, cin)
                     t = _dot(a, w9[dy, dx])
                     acc = t if acc is None else acc + t
-        outs.append(acc.reshape(n, wc, co))
+        if sink is not None:
+            sink(acc.reshape(n, wc, co), r0, n)
+        else:
+            outs.append(acc.reshape(n, wc, co))
+    if sink is not None:
+        return None
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
@@ -447,40 +454,57 @@ def _motion_kernel(htot, w2, *refs):
     # convf1 (7x7, single live flow channel): the caller pre-shifted the 7
     # column taps into lanes (flowcols128), so the conv is 7 row-shifted
     # MXU dots with no in-kernel column gather at all
-    f1 = None
-    for dy in range(7):
-        a = flow_slab[dy : dy + R + 4, 8 : 8 + wc, :].reshape(
-            (R + 4) * wc, flow_slab.shape[-1]
+    for r0 in range(0, R + 4, 4):
+        n = min(4, R + 4 - r0)
+        f1 = None
+        for dy in range(7):
+            a = flow_slab[dy + r0 : dy + r0 + n, 8 : 8 + wc, :].reshape(
+                n * wc, flow_slab.shape[-1]
+            )
+            t = _dot(a, wf1[dy])
+            f1 = t if f1 is None else f1 + t
+        f1 = f1.reshape(n, wc, -1)
+        flo1_slab[r0 : r0 + n, 8 : 8 + wc, :] = (
+            jnp.maximum(f1 + bf1[0], 0.0).astype(dt) * m2[r0 : r0 + n]
         )
-        t = _dot(a, wf1[dy])
-        f1 = t if f1 is None else f1 + t
-    f1 = f1.reshape(R + 4, wc, -1)
-    flo1_slab[:, 8 : 8 + wc, :] = jnp.maximum(f1 + bf1[0], 0.0).astype(dt) * m2
 
     # convc1: 1x1, both streams block-diagonally (permuted input layout;
     # corrfeat padding lanes hit zero weight rows)
-    c1 = _dot(
-        cf_slab[:, 8 : 8 + wc, :].reshape((R + 4) * wc, cf_slab.shape[-1]),
-        wc1[...],
-    ).reshape(R + 4, wc, -1)
-    c1_slab[:, 8 : 8 + wc, :] = jnp.maximum(c1 + bc1[0], 0.0).astype(dt) * m2
+    for r0 in range(0, R + 4, 4):
+        n = min(4, R + 4 - r0)
+        c1 = _dot(
+            cf_slab[r0 : r0 + n, 8 : 8 + wc, :].reshape(n * wc, cf_slab.shape[-1]),
+            wc1[...],
+        ).reshape(n, wc, -1)
+        c1_slab[r0 : r0 + n, 8 : 8 + wc, :] = (
+            jnp.maximum(c1 + bc1[0], 0.0).astype(dt) * m2[r0 : r0 + n]
+        )
 
     m1 = _stage_mask(i, 1, htot, w2, R + 2, wc, 8, dt)
     # convc2 (block-diag 128->128) and convf2 (64->64): out rows [-1, R+1)
-    a2 = _conv3x3([(c1_slab, wc2)], R + 2, 1, wc)
-    c2_slab[:, 8 : 8 + wc, :] = jnp.maximum(a2 + bc2[0], 0.0).astype(dt) * m1
-    af2 = _conv3x3([(flo1_slab, wf2)], R + 2, 1, wc)
-    flo2_slab[:, 8 : 8 + wc, :] = jnp.maximum(af2 + bf2[0], 0.0).astype(dt) * m1
+
+    def relu_store(slab, bias, mask):
+        def sink(acc, r0, n):
+            slab[r0 : r0 + n, 8 : 8 + wc, :] = (
+                jnp.maximum(acc + bias, 0.0).astype(dt) * mask[r0 : r0 + n]
+            )
+        return sink
+
+    _conv3x3([(c1_slab, wc2)], R + 2, 1, wc, sink=relu_store(c2_slab, bc2[0], m1))
+    _conv3x3([(flo1_slab, wf2)], R + 2, 1, wc, sink=relu_store(flo2_slab, bf2[0], m1))
 
     # merge conv (192 -> 126, padded to 128) + the [out | flow] concat:
     # lane 126 <- flow-x, lane 127 stays zero (reference update.py:88-90)
-    amc = _conv3x3([(c2_slab, wmcc), (flo2_slab, wmcf)], R, 1, wc)
     m0 = _stage_mask(i, 0, htot, w2, R, wc, 8, dt)
-    mo = jnp.maximum(amc + bmc[0], 0.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, mo.shape, 2)
-    flow_c = flow_slab[5 : 5 + R, 8 : 8 + wc, 3:4].astype(jnp.float32)
-    mo = jnp.where(lane == 126, flow_c, mo)
-    out_ref[0] = (mo.astype(dt) * m0)[:, 8 : 8 + w2, :]
+
+    def mc_sink(acc, r0, n):
+        mo = jnp.maximum(acc + bmc[0], 0.0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, mo.shape, 2)
+        flow_c = flow_slab[5 + r0 : 5 + r0 + n, 8 : 8 + wc, 3:4].astype(jnp.float32)
+        mo = jnp.where(lane == 126, flow_c, mo)
+        out_ref[0, r0 : r0 + n] = (mo.astype(dt) * m0[r0 : r0 + n])[:, 8 : 8 + w2, :]
+
+    _conv3x3([(c2_slab, wmcc), (flo2_slab, wmcf)], R, 1, wc, sink=mc_sink)
 
 
 def make_flowcols(flow):
@@ -561,27 +585,37 @@ def _gru_kernel(htot, w2, *refs):
     _halo_load(xu_hbm, xu_slab, sems.at[2], b, i, 2, htot, w2)
     _halo_load(czrq_hbm, czrq_slab, sems.at[3], b, i, 1, htot, w2)
 
-    # z/r gates at rows [-1, R+1) (the q conv needs rh with a 1-row halo)
-    streams_zr = [(h_slab, khzr), (mo_slab, kmzr), (xu_slab, kuzr)]
-    azr = _conv3x3(streams_zr, R + 2, 1, wc) + bzr[0]
-    azr = azr + czrq_slab[:, 8 : 8 + wc, : 2 * ch].astype(jnp.float32)
-    z = jax.nn.sigmoid(azr[..., :ch])
-    r = jax.nn.sigmoid(azr[..., ch:])
-    h_c = h_slab[1 : 1 + R + 2, 8 : 8 + wc, :].astype(jnp.float32)
-    z_slab[:, 8 : 8 + wc, :] = z.astype(dt)
-    # rh is zero outside the image because h is (no mask needed)
-    rh_slab[:, 8 : 8 + wc, :] = (r * h_c).astype(dt)
+    # z/r gates at rows [-1, R+1) (the q conv needs rh with a 1-row halo),
+    # chunk-sunk so no full-band f32 accumulator ever materializes
+    def zr_sink(acc, r0, n):
+        azr = acc + bzr[0]
+        azr = azr + czrq_slab[r0 : r0 + n, 8 : 8 + wc, : 2 * ch].astype(jnp.float32)
+        z = jax.nn.sigmoid(azr[..., :ch])
+        r = jax.nn.sigmoid(azr[..., ch:])
+        h_c = h_slab[1 + r0 : 1 + r0 + n, 8 : 8 + wc, :].astype(jnp.float32)
+        z_slab[r0 : r0 + n, 8 : 8 + wc, :] = z.astype(dt)
+        # rh is zero outside the image because h is (no mask needed)
+        rh_slab[r0 : r0 + n, 8 : 8 + wc, :] = (r * h_c).astype(dt)
+
+    _conv3x3(
+        [(h_slab, khzr), (mo_slab, kmzr), (xu_slab, kuzr)], R + 2, 1, wc,
+        sink=zr_sink,
+    )
 
     # q gate + blend at the R output rows.  rh slab row j holds image row
     # i*R - 1 + j while mo/xu hold i*R - 2 + j, hence the two row origins.
-    aq = _conv3x3([(rh_slab, khq)], R, 1, wc)
-    aq = aq + _conv3x3([(mo_slab, kmq), (xu_slab, kuq)], R, 2, wc)
-    aq = aq + bq[0] + czrq_slab[1 : 1 + R, 8 : 8 + wc, 2 * ch :].astype(jnp.float32)
-    q = jnp.tanh(aq)
-    z_c = z_slab[1 : 1 + R, 8 : 8 + wc, :].astype(jnp.float32)
-    h_cc = h_slab[2 : 2 + R, 8 : 8 + wc, :].astype(jnp.float32)
-    out = (1.0 - z_c) * h_cc + z_c * q
-    out_ref[0] = out.astype(dt)[:, 8 : 8 + w2, :]
+    for r0 in range(0, R, 4):
+        n = min(4, R - r0)
+        aq = _conv3x3([(rh_slab, khq)], n, 1 + r0, wc)
+        aq = aq + _conv3x3([(mo_slab, kmq), (xu_slab, kuq)], n, 2 + r0, wc)
+        aq = aq + bq[0] + czrq_slab[
+            1 + r0 : 1 + r0 + n, 8 : 8 + wc, 2 * ch :
+        ].astype(jnp.float32)
+        q = jnp.tanh(aq)
+        z_c = z_slab[1 + r0 : 1 + r0 + n, 8 : 8 + wc, :].astype(jnp.float32)
+        h_cc = h_slab[2 + r0 : 2 + r0 + n, 8 : 8 + wc, :].astype(jnp.float32)
+        out = (1.0 - z_c) * h_cc + z_c * q
+        out_ref[0, r0 : r0 + n] = out.astype(dt)[:, 8 : 8 + w2, :]
 
 
 def fused_step_gru(h, motion, xup, czrq, w: GruWeights, interpret=False):

@@ -36,6 +36,7 @@ __all__ = [
     "DirectorySource",
     "OakDSource",
     "disparity_frame",
+    "rolling_max",
     "ema_filter",
 ]
 
@@ -58,13 +59,31 @@ def _jet(u: np.ndarray) -> np.ndarray:
 def disparity_frame(disp: np.ndarray, max_disp: float | None = None) -> np.ndarray:
     """(H,W) disparity -> (H,W,3) uint8 JET frame, zero-disparity black.
 
-    Mirrors the reference demo's getDisparityFrame: scale to [0,255] by the
-    running max disparity, apply JET, keep invalid (==0) pixels black."""
+    Mirrors the reference demo's getDisparityFrame: scale to [0,255] by
+    `max_disp` (pass a `rolling_max()` value for the reference's 10-frame
+    running mean of maxima, fast_demo_oak.py maxDisp deque; with None the
+    per-frame max is used, which can flicker across frames)."""
     d = np.asarray(disp, np.float32)
     m = float(max_disp) if max_disp else float(d.max()) or 1.0
     rgb = (_jet(d / m) * 255.0).astype(np.uint8)
     rgb[d <= 0] = 0
     return rgb
+
+
+def rolling_max(window: int = 10):
+    """Stateful color-scale stabilizer: returns step(disp) -> mean of the
+    last `window` frame maxima (the reference demo's maxDisp deque,
+    fast_demo_oak.py:244-248) — feeds disparity_frame's max_disp so the JET
+    scale does not flicker frame to frame."""
+    from collections import deque
+
+    hist: deque = deque(maxlen=window)
+
+    def step(disp: np.ndarray) -> float:
+        hist.append(float(np.asarray(disp).max()))
+        return float(np.mean(hist)) or 1.0
+
+    return step
 
 
 # ---------------------------------------------------------------------------
@@ -193,8 +212,30 @@ class OakDSource:
                 device.getOutputQueue(n, self.queue_size, blocking=False)
                 for n in ("rectifiedLeft", "rectifiedRight", "disparity")
             ]
+            pending: dict[str, dict[int, np.ndarray]] = {
+                n: {} for n in ("rectifiedLeft", "rectifiedRight", "disparity")
+            }
             while True:
-                frames = {q.getName(): q.get().getCvFrame() for q in qs}
+                # pair the three non-blocking XLink streams by sequence
+                # number — under host stalls the queues drop frames
+                # independently, so naive q.get() triples drift out of sync
+                # (a weakness the reference demo shares)
+                for q in qs:
+                    msg = q.get()
+                    pending[q.getName()][msg.getSequenceNum()] = msg.getCvFrame()
+                common = set.intersection(
+                    *(set(d.keys()) for d in pending.values())
+                )
+                if not common:
+                    for d in pending.values():  # bound buffering
+                        while len(d) > 8:
+                            d.pop(min(d))
+                    continue
+                seq = max(common)
+                frames = {n: d.pop(seq) for n, d in pending.items()}
+                for d in pending.values():  # drop frames older than the pair
+                    for k in [k for k in d if k < seq]:
+                        d.pop(k)
                 l = np.repeat(
                     frames["rectifiedLeft"][..., None], 3, axis=-1
                 ).astype(np.float32) / 255.0
@@ -217,8 +258,10 @@ class CaptureLoop:
     infer: (left, right) float [0,1] RGB -> (H,W) disparity.  Use
     `StereoAnywherePipeline.__call__` locally or
     `functools.partial(serve.client.infer_remote, server)` remotely.
-    clip: (top, bottom, left, right) border crop applied to the inputs
-    before inference (the demo's --clip_* args).
+    clip: (top, bottom, left, right) border crop applied to the OUTPUT
+    disparity and the frames in the result dict — the reference demo
+    infers on the full frame and clips only what it displays
+    (fast_demo_oak.py:250-311 --clip_* args), and so does this loop.
     on_frame: called with a result dict per frame; return False to stop.
     """
 
@@ -238,8 +281,8 @@ class CaptureLoop:
         n, t0 = 0, time.perf_counter()
         for frame in source:
             left, right, sgm = (*frame, None)[:3]
-            left, right = self._clip(left), self._clip(right)
             disp = np.asarray(self.infer(left, right), np.float32)
+            left, right, disp = self._clip(left), self._clip(right), self._clip(disp)
             smoothed = smooth(disp)
             n += 1
             fps = n / (time.perf_counter() - t0)

@@ -34,7 +34,9 @@ def test_capture_loop_clip_ema_and_stop():
     calls = []
 
     def infer(l, r):
-        assert l.shape == (7, 9, 3) and r.shape == (7, 9, 3)  # clip applied
+        # reference parity: inference sees the FULL frame; --clip_* only
+        # crops the displayed output (fast_demo_oak.py:250-311)
+        assert l.shape == (10, 12, 3) and r.shape == (10, 12, 3)
         return l[..., 0] * 2.0
 
     seen = []
@@ -43,7 +45,8 @@ def test_capture_loop_clip_ema_and_stop():
     )
     n = loop.run(frames, max_frames=4)
     assert n == 4 and loop.stats["frames"] == 4
-    # EMA of the disparity stream, checked against the closed recursion
+    assert seen[0]["left"].shape == (7, 9, 3)  # clip applied to outputs
+    # EMA of the (clipped) disparity stream vs the closed recursion
     ref = None
     for i in range(4):
         d = frames[i][0][1:8, 3:, 0] * 2.0
@@ -130,3 +133,13 @@ def test_directory_source_and_cli_camera(tmp_path, monkeypatch):
     files = sorted(os.listdir(out))
     assert files == ["frame_00000.png", "frame_00001.png"]
     assert np.asarray(Image.open(out / "frame_00000.png")).shape == (7, 10, 3)
+
+
+def test_rolling_max_scale():
+    from stereoanywhere_tpu.serve.camera import rolling_max
+
+    step = rolling_max(window=3)
+    assert step(np.array([1.0, 4.0])) == 4.0
+    assert step(np.array([8.0])) == 6.0           # mean(4, 8)
+    assert step(np.array([0.0])) == 4.0           # mean(4, 8, 0)
+    assert step(np.array([1.0])) == 3.0           # window drops the 4

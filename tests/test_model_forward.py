@@ -209,3 +209,40 @@ def test_fused_level0_matches_xla_forward(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
     )
+
+
+def test_width_pad_align(rng):
+    """Internal width alignment (models/stereoanywhere.py geometry fix):
+    aligned widths bypass it bit-for-bit; unaligned wide inputs produce the
+    input's shape and match the unpadded model away from the padded edge."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereoanywhere_tpu.config import StereoAnywhereConfig
+    from stereoanywhere_tpu.models import StereoAnywhere
+
+    h, w = 32, 96  # W/4 = 24, not a multiple of 16 -> pads to 128 wide
+    ins = tuple(
+        jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
+        for c in (3, 3, 1, 1)
+    )
+    cfg_off = StereoAnywhereConfig(width_pad_align=0, fused_level0="off")
+    cfg_on = dataclasses.replace(cfg_off, width_pad_align=64, width_pad_min=96)
+    m_off, m_on = StereoAnywhere(cfg_off), StereoAnywhere(cfg_on)
+    variables = m_off.init(jax.random.PRNGKey(0), *ins, iters=1, test_mode=True)
+    got = np.asarray(
+        m_on.apply(variables, *ins, iters=2, test_mode=True)["disparity"]
+    )
+    assert got.shape == (1, h, w, 1)
+    assert np.isfinite(got).all()
+    # exact equivalence: auto-pad(raw) == crop(no-pad(edge-padded input))
+    ins_p = tuple(
+        jnp.asarray(np.pad(np.asarray(x), ((0, 0), (0, 0), (0, 128 - w), (0, 0)), mode="edge"))
+        for x in ins
+    )
+    ref = np.asarray(
+        m_off.apply(variables, *ins_p, iters=2, test_mode=True)["disparity"]
+    )[:, :, :w]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

@@ -9,6 +9,12 @@ import jax
 
 if os.environ.get("SA_DEV_CPU", "0") == "1":
     jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("SA_DEV_F32", "0") == "1":
+    # make the XLA reference's f32 convs actually compute in f32 on TPU
+    # (default TPU matmul precision truncates f32 inputs to bf16 passes)
+    jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp
 import numpy as np
 
