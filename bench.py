@@ -36,6 +36,11 @@ BASELINES = {
     "stereo_1024_latency": 0.61,   # sterereere.md:1372-1374
     "mono_pair_latency": 0.03,     # sterereere.md:1360-1374 (VFM stage)
     "train_step_latency": None,    # reference publishes no train-step time
+    # pairs/s needed to match the A100's 3-epoch SceneFlow budget is
+    # unpublished; vs_baseline stays null and the row exists so
+    # time-to-train is directly computable (ARCHITECTURE.md train table):
+    # 3 epochs x ~39,454 pairs / value seconds.
+    "train_throughput": None,
     "total_1024_latency": 0.63,
     "total_512_latency": 0.24,
     # North-star geometries (BASELINE.json configs 2/3): the paper publishes
@@ -44,6 +49,12 @@ BASELINES = {
     # folded/blocked layouts the square benchmarks never touch.
     "kitti_latency": None,         # 1248x384 = KITTI 1242x375 pad-32
     "middlebury_h_latency": None,  # 1536x1056 ~ Middlebury 2014 half-res pad-32
+    # Booster at the shipped protocol geometry (Table 3 runs quarter-res:
+    # iscale 4 of the 4112x3008 full-res RGB -> 1028x752 -> pad-32
+    # 1056x768, reference README.md:323 + tile_presets.py).  The full-res
+    # path is measured separately in ARCHITECTURE.md (HBM peak + the
+    # vol_downsample knob the protocol allows for OOM, README.md:381).
+    "booster_q_latency": None,
     # The deployable fused graph (serve/pipeline.py: mono + joint minmax +
     # pad-32 + stereo + unpad in ONE jit) at 512² — comparable to the stage
     # sum total_512_latency (the reference's deployable wrapper is exactly
@@ -240,6 +251,12 @@ def bench_train_step() -> float:
     return float(np.median(times)), times
 
 
+def bench_train_throughput(step_latency: float) -> float:
+    """pairs/s at the reference's canonical config (batch 2, 320x640,
+    12 iters — run_train.sh); derived from the measured step latency."""
+    return 2.0 / step_latency
+
+
 def main():
     import stereoanywhere_tpu  # noqa: F401 — XLA dtype flags (tpu_jit carries them per-compile)
 
@@ -262,10 +279,17 @@ def main():
     run("stereo_1024_latency", lambda: bench_stereo(1024))
     run("mono_pair_latency", bench_mono)
     run("train_step_latency", bench_train_step)
+    if "train_step_latency" in got:
+        tput = bench_train_throughput(got["train_step_latency"])
+        print(json.dumps({
+            "metric": "train_throughput", "value": round(tput, 2),
+            "unit": "pairs/s", "vs_baseline": None, "session": SESSION,
+        }), flush=True)
     # north-star geometries (H, W): KITTI 1242x375 pad-32, Middlebury 2014
     # half-res pad-32 — non-square shapes that stress lane folding
     run("kitti_latency", lambda: bench_stereo((384, 1248)))
     run("middlebury_h_latency", lambda: bench_stereo((1056, 1536)))
+    run("booster_q_latency", lambda: bench_stereo((768, 1056)))
     run("pipeline_512_latency", bench_pipeline)
 
     def total(a, b):

@@ -70,12 +70,15 @@ class StereoAnywhereConfig:
     # elsewhere).
     lookup_impl: str = "auto"
     # Level-0-fused refinement loop (ops/pallas/step_fused.py): the rotated
-    # scan body runs the whole quarter-res plane in three Pallas kernels.
-    # "auto": on for TPU inference when shapes allow; "on": force (TPU);
-    # "interpret": force with interpreted kernels (CPU tests); "off": the
-    # XLA scan body.  Training always uses the XLA body (kernels have no
-    # VJP).
-    fused_level0: str = "auto"
+    # scan body runs the whole refinement cascade in six Pallas kernels.
+    # MEASURED NEGATIVE at 1024²/bf16 on v5e (round 5): 5.03 ms/iter vs the
+    # XLA scan body's 3.71 — the kernels run their convs at ~71-87% MXU but
+    # pay +27% halo/width overcompute, and the windowed-lookup VPU assembly
+    # floors at ~1.9 ms/iter, matching XLA's own window lookup
+    # (ARCHITECTURE.md "fused-step kernel postmortem").  Default "off";
+    # "on" (TPU) / "interpret" (CPU tests) exercise the exactness-proven
+    # kernels; "auto" currently resolves to off.
+    fused_level0: str = "off"
     # Internal width alignment for wide inference inputs (see the geometry
     # note in models/stereoanywhere.py): replicate-pad W to a multiple of
     # `width_pad_align` when W >= width_pad_min in test mode, crop the

@@ -553,11 +553,7 @@ class StereoAnywhere(nn.Module):
 
         use_fused_step = (
             test_mode
-            and cfg.fused_level0 != "off"
-            and (
-                cfg.fused_level0 in ("on", "interpret")
-                or jax.default_backend() == "tpu"
-            )
+            and cfg.fused_level0 in ("on", "interpret")
             and not use_barrel
             and cfg.n_gru_layers == 3
             and tuple(cfg.context_dims) == (128, 128, 128)
@@ -595,10 +591,11 @@ class StereoAnywhere(nn.Module):
                 nn.share_scope(pre, scan_f)
             (net_c, coords1), _ = pre((net_init, coords1), consts)
             if scan_f is not None:
-                czrq0 = jnp.concatenate(inp_list[0], axis=-1)
+                czrq = tuple(
+                    jnp.concatenate(triple, axis=-1) for triple in inp_list
+                )
                 consts_f = (
-                    stereo_pyr.levels, mono_pyr.levels, inp_list, czrq0,
-                    coords0[..., 0],
+                    stereo_pyr.levels, mono_pyr.levels, czrq, coords0[..., 0],
                 )
                 (net_c, cn_sq), _ = scan_f((net_c, coords1[..., 0]), consts_f)
                 coords1 = cn_sq[..., None]

@@ -491,8 +491,8 @@ class FusedRefinementStep(nn.Module):
     Parameter paths are identical to RefinementStep's (shared scope).
 
     carry  = (net tuple, coords1 (B,H4,W4) f32 — squeezed x-coordinate)
-    consts = (stereo levels, mono levels, inp triples for ALL scales,
-              czrq0 = concat(inp[0]) precomputed outside the scan,
+    consts = (stereo levels, mono levels,
+              czrq = per-scale concat(inp[i]) precomputed outside the scan,
               coords0 (B,H4,W4) squeezed)
     """
 
@@ -509,15 +509,18 @@ class FusedRefinementStep(nn.Module):
         from stereoanywhere_tpu.ops.pallas import step_fused as sf
 
         net, coords1 = carry
-        stereo_levels, mono_levels, inp, czrq0, coords0 = consts
+        stereo_levels, mono_levels, czrq, coords0 = consts
         cdt = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
-        hd = self.hidden_dims
         coords1 = jax.lax.stop_gradient(coords1)
 
         # --- parameter shells (paths identical to the XLA modules) --------
         fh = _FlowHeadShell(name="flow_head")()
         enc = _ShellParams(name="encoder")()
-        gz, gr, gq = _GruShell(name="gru08")()
+        gshell = [
+            _GruShell(in_features=384, name="gru08")(),
+            _GruShell(in_features=384, name="gru16")(),
+            _GruShell(in_features=256, name="gru32")(),
+        ][: self.n_gru_layers]
 
         hw = sf.pack_head_weights(fh[0][0], fh[0][1], fh[1][0], fh[1][1], cdt)
         mw = sf.pack_motion_weights(
@@ -525,7 +528,10 @@ class FusedRefinementStep(nn.Module):
             enc[3][0], enc[3][1], enc[4][0], enc[4][1],
             len(stereo_levels), self.corr_radius, cdt,
         )
-        gw = sf.pack_gru_weights(gz[0], gz[1], gr[0], gr[1], gq[0], gq[1], cdt)
+        gws = [
+            sf.pack_gru_weights(gz[0], gz[1], gr[0], gr[1], gq[0], gq[1], cdt)
+            for gz, gr, gq in gshell
+        ]
 
         # --- kernel L: flow head + coords update + dual lookup ------------
         cn, corrfeat = sf.fused_step_head(
@@ -533,12 +539,19 @@ class FusedRefinementStep(nn.Module):
             radius=self.corr_radius, interpret=self.interpret,
         )
 
-        # --- small planes in XLA (reference update.py:164-183 order) ------
+        # --- full cascade through the Pallas GRU kernel (reference
+        # update.py:164-183 order; XLA keeps only pool2x/interp — its own
+        # convs at a custom-call boundary pay a measured 4x relayout tax) --
         net = list(net)
         if self.n_gru_layers == 3:
-            net[2] = ConvGRU(hd[0], name="gru32")(net[2], *inp[2], pool2x(net[1]))
-        net[1] = ConvGRU(hd[1], name="gru16")(
-            net[1], *inp[1], pool2x(net[0]), interp_like(net[2], net[1])
+            net[2] = sf.fused_step_gru(
+                net[2].astype(cdt), [pool2x(net[1]).astype(cdt)], czrq[2],
+                gws[2], interpret=self.interpret,
+            )
+        net[1] = sf.fused_step_gru(
+            net[1].astype(cdt),
+            [pool2x(net[0]).astype(cdt), interp_like(net[2], net[1]).astype(cdt)],
+            czrq[1], gws[1], interpret=self.interpret,
         )
         xup = interp_like(net[1], net[0]).astype(cdt)
 
@@ -546,7 +559,8 @@ class FusedRefinementStep(nn.Module):
         flowcols = sf.make_flowcols((cn - coords0).astype(cdt))
         motion = sf.fused_step_motion(corrfeat, flowcols, mw, interpret=self.interpret)
         net[0] = sf.fused_step_gru(
-            net[0].astype(cdt), motion, xup, czrq0, gw, interpret=self.interpret
+            net[0].astype(cdt), [motion, xup], czrq[0], gws[0],
+            interpret=self.interpret,
         )
         net = [n.astype(cdt) for n in net]
         return (tuple(net), cn), 0
@@ -562,10 +576,12 @@ class _FlowHeadShell(nn.Module):
 
 
 class _GruShell(nn.Module):
+    in_features: int = 384
+
     @nn.compact
     def __call__(self):
         return (
-            ParamConv(128, 3, name="convz")(384),
-            ParamConv(128, 3, name="convr")(384),
-            ParamConv(128, 3, name="convq")(384),
+            ParamConv(128, 3, name="convz")(self.in_features),
+            ParamConv(128, 3, name="convr")(self.in_features),
+            ParamConv(128, 3, name="convq")(self.in_features),
         )

@@ -194,18 +194,24 @@ def pack_motion_weights(
 
 
 def pack_gru_weights(kz, bz, kr, br_, kq, bq, dt) -> GruWeights:
-    """kz/kr/kq: (3,3,384,128) ConvGRU convs over [h(128), motion(128),
-    xup(128)] (reference update.py:53-56 with x = [motion, interp(net1)])."""
+    """kz/kr/kq: (3,3,(1+nx)*128,128) ConvGRU convs over [h(128), then nx
+    128-ch x streams] (reference update.py:53-56).  With nx == 1 the ku_*
+    fields alias km_* and are never used."""
     ch = 128
-    kzr = jnp.concatenate([kz, kr], axis=-1)  # (3,3,384,256)
+    nx = kz.shape[2] // ch - 1
+    kzr = jnp.concatenate([kz, kr], axis=-1)  # (3,3,(1+nx)*128,256)
+    km_zr = kzr[:, :, ch : 2 * ch]
+    ku_zr = kzr[:, :, 2 * ch :] if nx == 2 else km_zr
+    km_q = kq[:, :, ch : 2 * ch]
+    ku_q = kq[:, :, 2 * ch :] if nx == 2 else km_q
     return GruWeights(
         kh_zr=kzr[:, :, :ch].astype(dt),
-        km_zr=kzr[:, :, ch : 2 * ch].astype(dt),
-        ku_zr=kzr[:, :, 2 * ch :].astype(dt),
+        km_zr=km_zr.astype(dt),
+        ku_zr=ku_zr.astype(dt),
         b_zr=jnp.concatenate([bz, br_]).reshape(1, -1).astype(jnp.float32),
         kh_q=kq[:, :, :ch].astype(dt),
-        km_q=kq[:, :, ch : 2 * ch].astype(dt),
-        ku_q=kq[:, :, 2 * ch :].astype(dt),
+        km_q=km_q.astype(dt),
+        ku_q=ku_q.astype(dt),
         b_q=bq.reshape(1, -1).astype(jnp.float32),
     )
 
@@ -214,11 +220,15 @@ def pack_gru_weights(kz, bz, kr, br_, kq, bq, dt) -> GruWeights:
 # kernel helpers
 
 
-def _halo_load(ref, scratch, sem, b, i, hal, htot, w2, col_off=16):
+def _halo_load(ref, scratch, sem, b, i, hal, htot, w2, col_off=16,
+               phase="both"):
     """DMA image rows [i*R - hal, i*R + R + hal) of ref[b] into scratch
     (image columns at `col_off`), clamped at the image edges; out-of-image
     rows zeroed (conv zero-padding).  Scratch row j holds image row
-    i*R - hal + j.  Requires >= 2 bands.  Start+wait per branch."""
+    i*R - hal + j.  Requires >= 2 bands.  phase: "start" issues the copy
+    (and edge zeroing), "wait" blocks on it, "both" does both — callers
+    with several input slabs start them all, then wait, overlapping the
+    DMAs with each other."""
     nb = pl.num_programs(1)
     rank3 = ref.ndim == 3  # (B, H, W2): rank-2 rows (coords)
 
@@ -235,17 +245,25 @@ def _halo_load(ref, scratch, sem, b, i, hal, htot, w2, col_off=16):
                 scratch.at[pl.ds(dst_row0, n), pl.ds(col_off, w2), :],
                 sem,
             )
-        dma.start()
-        dma.wait()
+        if phase in ("both", "start"):
+            dma.start()
+        if phase in ("both", "wait"):
+            dma.wait()
+
+    zero = phase in ("both", "start")
 
     @pl.when(i == 0)
     def _():
-        scratch[pl.ds(0, hal)] = jnp.zeros_like(scratch[pl.ds(0, hal)])
+        if zero:
+            scratch[pl.ds(0, hal)] = jnp.zeros_like(scratch[pl.ds(0, hal)])
         run(0, hal, R + hal)
 
     @pl.when(jnp.logical_and(i == nb - 1, i != 0))
     def _():
-        scratch[pl.ds(R + hal, hal)] = jnp.zeros_like(scratch[pl.ds(R + hal, hal)])
+        if zero:
+            scratch[pl.ds(R + hal, hal)] = jnp.zeros_like(
+                scratch[pl.ds(R + hal, hal)]
+            )
         run(htot - (R + hal), 0, R + hal)
 
     if htot >= R + 2 * hal:  # interior bands exist only when >2 fit
@@ -261,7 +279,8 @@ def _stage_mask(i, hal, htot, w2, rows, width, col_img, dt):
     gr = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 0) + (i * R - hal)
     gc = jax.lax.broadcasted_iota(jnp.int32, (rows, width), 1) - col_img
     ok = (gr >= 0) & (gr < htot) & (gc >= 0) & (gc < w2)
-    return ok.astype(dt)[..., None]
+    # minor-dim insertion must happen on a 32-bit type (Mosaic bf16 limit)
+    return ok.astype(jnp.float32)[..., None].astype(dt)
 
 
 def _conv3x3(slabs_ws, rows_out, row0, wc, col0=8, chunk=4, sink=None):
@@ -315,71 +334,154 @@ def _zero_once(b, i, *slabs_borders):
 # kernel L: flow head + coordinate update + dual pyramid lookup
 
 
-def _head_kernel(num_levels, radius, htot, w2, *refs):
-    (coords_ref, h_hbm, kf1_ref, bf1_ref, k9_ref, bf2_ref) = refs[:6]
-    lvl_refs = refs[6 : 6 + 2 * num_levels]
-    cnew_ref, corr_ref, h_slab, sems = refs[6 + 2 * num_levels :]
+def _fh_kernel(htot, w2, coords_ref, h_hbm, kf1_ref, bf1_ref, k9_ref,
+               bf2_ref, cnew_ref, h_slab, fh1_slab, z9_slab, sems):
     b, i = pl.program_id(0), pl.program_id(1)
     wc = w2 + 16
     dt = h_slab.dtype
-    k = 2 * radius + 1
 
     _zero_once(b, i, (h_slab, 16, 16 + w2))
     _halo_load(h_hbm, h_slab, sems.at[0], b, i, 2, htot, w2)
 
-    # flow head conv1: fh1 rows [-1, R+1) (value row r <-> image i*R-1+r)
+    # flow head conv1: fh1 rows [-1, R+1) (slab row r <-> image i*R-1+r)
     m1 = _stage_mask(i, 1, htot, w2, R + 2, wc, 8, dt)
-    acc = _conv3x3([(h_slab, kf1_ref)], R + 2, 1, wc)
-    fh1 = jnp.maximum(acc + bf1_ref[0], 0.0).astype(dt) * m1
+
+    def fh1_sink(acc, r0, n):
+        fh1_slab[r0 : r0 + n, 8 : 8 + wc, :] = (
+            jnp.maximum(acc + bf1_ref[0], 0.0).astype(dt) * m1[r0 : r0 + n]
+        )
+
+    _conv3x3([(h_slab, kf1_ref)], R + 2, 1, wc, sink=fh1_sink, chunk=10)
 
     # flow head conv2 via tap columns: z9 = fh1 @ K9, then 9 shifted adds
     # (exact same sums as the conv; reference update.py:6-14 + the
     # out_slice=1 x-delta-only projection, stereoanywhere.py:277)
-    z9 = _dot(fh1.reshape((R + 2) * wc, -1), k9_ref[...]).reshape(R + 2, wc, 9)
+    for r0 in range(0, R + 2, 10):
+        n = min(10, R + 2 - r0)
+        z9 = _dot(
+            fh1_slab[r0 : r0 + n, 8 : 8 + wc, :].reshape(n * wc, -1),
+            k9_ref[...],
+        ).reshape(n, wc, 9)
+        z9_slab[r0 : r0 + n, 8 : 8 + wc, :] = z9
+
     delta = None
     for t in range(9):
         dy, dx = t // 3, t % 3
-        # out image row r = fh1 slab-row r+1+(dy-1); out col c = z9 col c+8+(dx-1)
-        term = z9[dy : dy + R, 7 + dx : 7 + dx + w2, t]
+        # out image row r = z9 slab-row r+1+(dy-1); image col c = slab col
+        # c+16, read at c+(dx-1)
+        term = z9_slab[dy : dy + R, 15 + dx : 15 + dx + w2, t]
         delta = term if delta is None else delta + term
-    coords_new = coords_ref[0] + (delta + bf2_ref[0, 0])
-    cnew_ref[0] = coords_new
+    cnew_ref[0] = coords_ref[0] + (delta + bf2_ref[0, 0])
 
-    # dual lagged-tent lookup at the updated coordinates (both pyramids
-    # share the per-level tent array g; reference corr.py:93-115 semantics,
-    # linear interpolation with zeros padding).  Output lanes beyond
-    # 2*L*K are zero-filled padding (128-lane layout for the F1 DMA).
-    corr_ref[0, :, :, 2 * num_levels * k :] = jnp.zeros(
-        (R, w2, corr_ref.shape[-1] - 2 * num_levels * k), corr_ref.dtype
-    )
-    for li in range(num_levels):
-        la = lvl_refs[li][0]
-        lb = lvl_refs[num_levels + li][0]
-        wl = la.shape[-1]
-        pos = coords_new * (1.0 / (2.0 ** li))
-        wg = wl + 2 * radius + 2
+
+def _lookup_kernel(radius, htot, w2, wl, nb, coords_ref, la_ref, lb_ref, corr_ref):
+    """One pyramid level's windowed-slab tent lookup (both volumes).
+
+    Each level runs as its OWN pallas_call: Mosaic's stack allocator does
+    not reuse buffers across an unrolled multi-level loop (measured 21-31 MB
+    OOMs), while per-level programs reuse the same allocation across the
+    grid.  The windowed slab evaluates the tent only on an L-lane band
+    around each row's coordinate (exact — the removed products are
+    structural zeros; XLA _lookup_level_window_pair math)."""
+    k = 2 * radius + 1
+    kk = 2 * k
+    rr = radius + 1
+    la = la_ref[0]
+    lb = lb_ref[0]
+    dt = la.dtype
+    block = wl // nb
+    sl = block + 2 * rr
+    wg = sl + 2 * rr
+
+    li = 0  # scale handled by caller (coords pre-divided)
+    pos = coords_ref[0]
+    del li
+    if nb > 1:
+        c = jnp.clip(jnp.floor((pos - rr) * (1.0 / block)), 0, nb - 1)
+        lap = jnp.pad(la, ((0, 0), (0, 0), (0, sl - block)))
+        lbp = jnp.pad(lb, ((0, 0), (0, 0), (0, sl - block)))
+        slab_a = jnp.zeros((R, w2, sl), dt)
+        slab_b = jnp.zeros((R, w2, sl), dt)
+        c3 = c[..., None]  # f32 minor-dim insert (Mosaic bf16 limit)
+        for bi in range(nb):
+            m = c3 == bi
+            slab_a = jnp.where(
+                m, jax.lax.slice_in_dim(lap, bi * block, bi * block + sl, axis=-1), slab_a
+            )
+            slab_b = jnp.where(
+                m, jax.lax.slice_in_dim(lbp, bi * block, bi * block + sl, axis=-1), slab_b
+            )
+        local = pos - c * block
+    else:
+        slab_a = jnp.pad(la, ((0, 0), (0, 0), (0, sl - wl)))
+        slab_b = jnp.pad(lb, ((0, 0), (0, 0), (0, sl - wl)))
+        local = pos
+
+    import os
+
+    rc = int(os.environ.get("SA_LOOKUP_RC", "2"))
+    tap_cols = jax.lax.broadcasted_iota(jnp.int32, (kk * sl, kk), 1)
+    tap_rows = jax.lax.broadcasted_iota(jnp.int32, (kk * sl, kk), 0)
+    ones_bd = (tap_rows // sl == tap_cols).astype(dt)
+    # lane-concatenated tap products -> ONE ones-matmul per chunk whose
+    # output has taps on LANES (per-lane writes measured ~1.2 ms/iter;
+    # order: [stereo taps | mono taps]).  Everything is computed per
+    # rc-row chunk to bound Mosaic's stack allocation.
+    for r0 in range(0, R, rc):
         m = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, w2, wg), 2).astype(jnp.float32)
-            - (radius + 1)
+            jax.lax.broadcasted_iota(jnp.int32, (rc, w2, wg), 2).astype(
+                jnp.float32
+            )
+            - rr
         )
-        g = jnp.maximum(1.0 - jnp.abs(m - pos[..., None]), 0.0).astype(la.dtype)
-        ones = jnp.ones((wl, 8), dtype=la.dtype)
-        base = li * 2 * k
-        for t in range(-radius, radius + 1):
-            start = radius + 1 - t
-            gs = jax.lax.slice_in_dim(g, start, start + wl, axis=-1)
-            for s, lvl in ((0, la), (1, lb)):
-                prod = (lvl * gs).reshape(R * w2, wl)
-                ssum = _dot(prod, ones).reshape(R, w2, 8)
-                corr_ref[0, :, :, base + s * k + (t + radius)] = ssum[
-                    :, :, 0
-                ].astype(corr_ref.dtype)
+        g = jnp.maximum(
+            1.0 - jnp.abs(m - local[r0 : r0 + rc][..., None]), 0.0
+        ).astype(dt)
+        prods = []
+        for slab in (slab_a, slab_b):
+            for t in range(-radius, radius + 1):
+                gs = jax.lax.slice_in_dim(g, rr - t, rr - t + sl, axis=-1)
+                prods.append(slab[r0 : r0 + rc] * gs)
+        stacked = jnp.concatenate(prods, axis=-1).reshape(rc * w2, kk * sl)
+        sums = _dot(stacked, ones_bd).reshape(rc, w2, kk)
+        corr_ref[0, r0 : r0 + rc] = sums.astype(corr_ref.dtype)
+
+
+def _lookup_level_call(la, lb, pos, radius, interpret):
+    bsz, htot, w2, wl = la.shape
+    nb = min(8, wl // 32)
+    if nb < 2 or wl % nb or (wl // nb) + 2 * (radius + 1) >= wl:
+        nb = 1
+    kk = 2 * (2 * radius + 1)
+    return pl.pallas_call(
+        functools.partial(_lookup_kernel, radius, htot, w2, wl, nb),
+        out_shape=jax.ShapeDtypeStruct((bsz, htot, w2, kk), la.dtype),
+        grid=(bsz, htot // R),
+        in_specs=[
+            pl.BlockSpec((1, R, w2), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, R, w2, wl), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, R, w2, wl), lambda b, i: (b, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, R, w2, kk), lambda b, i: (b, i, 0, 0)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bsz * htot * w2 * wl * (2 * radius + 1),
+            bytes_accessed=2 * (la.size + lb.size),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pos, la, lb)
 
 
 def fused_step_head(
     h, coords, levels_a, levels_b, w: HeadWeights, radius=4, interpret=False
 ):
     """Kernel L: delta = flow_head(h); coords += delta; corrfeat = lookup.
+
+    Implemented as TWO pallas calls (flow head / dual lookup) — one fused
+    kernel OOMs VMEM at 1024² (the level double-buffers + tap products +
+    fh value chain sum past 16 MB); the split halves each kernel's
+    footprint at the cost of one extra launch and a (B,H4,W4) f32
+    round-trip.
 
     h (B,H4,W4,128); coords (B,H4,W4) f32 (x-coordinate, squeezed).
     Returns (coords_new (B,H4,W4) f32,
@@ -391,41 +493,43 @@ def fused_step_head(
     num_levels = len(levels_a)
     k = 2 * radius + 1
     dt = h.dtype
+    wp = w2 + 32
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    lvl_specs = [
-        pl.BlockSpec((1, R, w2, lvl.shape[-1]), lambda b, i: (b, i, 0, 0))
-        for lvl in (*levels_a, *levels_b)
-    ]
-    return pl.pallas_call(
-        functools.partial(_head_kernel, num_levels, radius, htot, w2),
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, htot, w2), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, htot, w2, 128), dt),
-        ),
+
+    cnew = pl.pallas_call(
+        functools.partial(_fh_kernel, htot, w2),
+        out_shape=jax.ShapeDtypeStruct((bsz, htot, w2), jnp.float32),
         grid=(bsz, htot // R),
         in_specs=[
             pl.BlockSpec((1, R, w2), lambda b, i: (b, i, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             wspec, wspec, wspec, wspec,
-            *lvl_specs,
         ],
-        out_specs=(
-            pl.BlockSpec((1, R, w2), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, R, w2, 128), lambda b, i: (b, i, 0, 0)),
-        ),
+        out_specs=pl.BlockSpec((1, R, w2), lambda b, i: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((R + 4, w2 + 32, ch), dt),
+            pltpu.VMEM((R + 4, wp, ch), dt),
+            pltpu.VMEM((R + 2, wp, 256), dt),
+            pltpu.VMEM((R + 2, wp, 9), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * htot * w2 * (9 * ch * 256 + 256 * 9)
-            + 4 * bsz * htot * w2 * sum(l.shape[-1] for l in levels_a) * k,
-            bytes_accessed=2
-            * (h.size + 2 * sum(l.size for l in levels_a) + 4 * coords.size),
+            flops=2 * bsz * htot * w2 * (9 * ch * 256 + 256 * 9),
+            bytes_accessed=2 * (h.size + 4 * coords.size),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coords, h, w.kf1, w.bf1, w.k9, w.bf2, *levels_a, *levels_b)
+    )(coords, h, w.kf1, w.bf1, w.k9, w.bf2)
+
+    pieces = [
+        _lookup_level_call(
+            levels_a[li], levels_b[li], cnew * (1.0 / (2.0 ** li)), radius,
+            interpret,
+        )
+        for li in range(num_levels)
+    ]
+    corr = jnp.concatenate(pieces, axis=-1)
+    corr = jnp.pad(corr, ((0, 0),) * 3 + ((0, 128 - corr.shape[-1]),))
+    return cnew, corr
 
 
 # ---------------------------------------------------------------------------
@@ -447,15 +551,17 @@ def _motion_kernel(htot, w2, *refs):
         (c1_slab, 8, 8 + wc), (c2_slab, 8, 8 + wc),
         (flo1_slab, 8, 8 + wc), (flo2_slab, 8, 8 + wc),
     )
-    _halo_load(corr_hbm, cf_slab, sems.at[0], b, i, 2, htot, w2)
-    _halo_load(flow_hbm, flow_slab, sems.at[1], b, i, 5, htot, w2)
+    _halo_load(corr_hbm, cf_slab, sems.at[0], b, i, 2, htot, w2, phase="start")
+    _halo_load(flow_hbm, flow_slab, sems.at[1], b, i, 5, htot, w2, phase="start")
+    _halo_load(corr_hbm, cf_slab, sems.at[0], b, i, 2, htot, w2, phase="wait")
+    _halo_load(flow_hbm, flow_slab, sems.at[1], b, i, 5, htot, w2, phase="wait")
 
     m2 = _stage_mask(i, 2, htot, w2, R + 4, wc, 8, dt)
     # convf1 (7x7, single live flow channel): the caller pre-shifted the 7
     # column taps into lanes (flowcols128), so the conv is 7 row-shifted
     # MXU dots with no in-kernel column gather at all
-    for r0 in range(0, R + 4, 4):
-        n = min(4, R + 4 - r0)
+    for r0 in range(0, R + 4, 12):
+        n = min(12, R + 4 - r0)
         f1 = None
         for dy in range(7):
             a = flow_slab[dy + r0 : dy + r0 + n, 8 : 8 + wc, :].reshape(
@@ -470,8 +576,8 @@ def _motion_kernel(htot, w2, *refs):
 
     # convc1: 1x1, both streams block-diagonally (permuted input layout;
     # corrfeat padding lanes hit zero weight rows)
-    for r0 in range(0, R + 4, 4):
-        n = min(4, R + 4 - r0)
+    for r0 in range(0, R + 4, 12):
+        n = min(12, R + 4 - r0)
         c1 = _dot(
             cf_slab[r0 : r0 + n, 8 : 8 + wc, :].reshape(n * wc, cf_slab.shape[-1]),
             wc1[...],
@@ -490,8 +596,10 @@ def _motion_kernel(htot, w2, *refs):
             )
         return sink
 
-    _conv3x3([(c1_slab, wc2)], R + 2, 1, wc, sink=relu_store(c2_slab, bc2[0], m1))
-    _conv3x3([(flo1_slab, wf2)], R + 2, 1, wc, sink=relu_store(flo2_slab, bf2[0], m1))
+    _conv3x3([(c1_slab, wc2)], R + 2, 1, wc,
+             sink=relu_store(c2_slab, bc2[0], m1), chunk=10)
+    _conv3x3([(flo1_slab, wf2)], R + 2, 1, wc,
+             sink=relu_store(flo2_slab, bf2[0], m1), chunk=10)
 
     # merge conv (192 -> 126, padded to 128) + the [out | flow] concat:
     # lane 126 <- flow-x, lane 127 stays zero (reference update.py:88-90)
@@ -504,7 +612,7 @@ def _motion_kernel(htot, w2, *refs):
         mo = jnp.where(lane == 126, flow_c, mo)
         out_ref[0, r0 : r0 + n] = (mo.astype(dt) * m0[r0 : r0 + n])[:, 8 : 8 + w2, :]
 
-    _conv3x3([(c2_slab, wmcc), (flo2_slab, wmcf)], R, 1, wc, sink=mc_sink)
+    _conv3x3([(c2_slab, wmcc), (flo2_slab, wmcf)], R, 1, wc, sink=mc_sink, chunk=8)
 
 
 def make_flowcols(flow):
@@ -565,11 +673,19 @@ def fused_step_motion(corrfeat, flowcols, w: MotionWeights, interpret=False):
 # kernel F2: level-0 ConvGRU
 
 
-def _gru_kernel(htot, w2, *refs):
-    (h_hbm, mo_hbm, xu_hbm, czrq_hbm) = refs[:4]
-    (khzr, kmzr, kuzr, bzr, khq, kmq, kuq, bq) = refs[4:12]
-    out_ref = refs[12]
-    h_slab, mo_slab, xu_slab, czrq_slab, z_slab, rh_slab, sems = refs[13:]
+def _gru_kernel(htot, w2, nx, *refs):
+    h_hbm = refs[0]
+    x_hbms = refs[1 : 1 + nx]
+    czrq_hbm = refs[1 + nx]
+    wrefs = refs[2 + nx : 2 + nx + 2 * (nx + 1) + 2]
+    khzr, bzr, khq, bq = wrefs[0], wrefs[1 + nx], wrefs[2 + nx], wrefs[3 + 2 * nx]
+    kx_zr = wrefs[1 : 1 + nx]
+    kx_q = wrefs[3 + nx : 3 + 2 * nx]
+    out_ref = refs[2 + nx + 2 * (nx + 1) + 2]
+    scratch = refs[3 + nx + 2 * (nx + 1) + 2 :]
+    h_slab = scratch[0]
+    x_slabs = scratch[1 : 1 + nx]
+    czrq_slab, z_slab, rh_slab, sems = scratch[1 + nx :]
     b, i = pl.program_id(0), pl.program_id(1)
     wc = w2 + 16
     dt = h_slab.dtype
@@ -577,13 +693,15 @@ def _gru_kernel(htot, w2, *refs):
 
     _zero_once(
         b, i,
-        (h_slab, 16, 16 + w2), (mo_slab, 16, 16 + w2), (xu_slab, 16, 16 + w2),
+        (h_slab, 16, 16 + w2),
+        *[(xs, 16, 16 + w2) for xs in x_slabs],
         (czrq_slab, 16, 16 + w2), (z_slab, 8, 8 + wc), (rh_slab, 8, 8 + wc),
     )
-    _halo_load(h_hbm, h_slab, sems.at[0], b, i, 2, htot, w2)
-    _halo_load(mo_hbm, mo_slab, sems.at[1], b, i, 2, htot, w2)
-    _halo_load(xu_hbm, xu_slab, sems.at[2], b, i, 2, htot, w2)
-    _halo_load(czrq_hbm, czrq_slab, sems.at[3], b, i, 1, htot, w2)
+    for ph in ("start", "wait"):
+        _halo_load(h_hbm, h_slab, sems.at[0], b, i, 2, htot, w2, phase=ph)
+        for xi, (xh, xs) in enumerate(zip(x_hbms, x_slabs)):
+            _halo_load(xh, xs, sems.at[1 + xi], b, i, 2, htot, w2, phase=ph)
+        _halo_load(czrq_hbm, czrq_slab, sems.at[1 + nx], b, i, 1, htot, w2, phase=ph)
 
     # z/r gates at rows [-1, R+1) (the q conv needs rh with a 1-row halo),
     # chunk-sunk so no full-band f32 accumulator ever materializes
@@ -597,17 +715,19 @@ def _gru_kernel(htot, w2, *refs):
         # rh is zero outside the image because h is (no mask needed)
         rh_slab[r0 : r0 + n, 8 : 8 + wc, :] = (r * h_c).astype(dt)
 
-    _conv3x3(
-        [(h_slab, khzr), (mo_slab, kmzr), (xu_slab, kuzr)], R + 2, 1, wc,
-        sink=zr_sink,
-    )
+    streams = [(h_slab, khzr)] + [
+        (xs, kw) for xs, kw in zip(x_slabs, kx_zr)
+    ]
+    _conv3x3(streams, R + 2, 1, wc, sink=zr_sink, chunk=10)
 
     # q gate + blend at the R output rows.  rh slab row j holds image row
-    # i*R - 1 + j while mo/xu hold i*R - 2 + j, hence the two row origins.
-    for r0 in range(0, R, 4):
-        n = min(4, R - r0)
-        aq = _conv3x3([(rh_slab, khq)], n, 1 + r0, wc)
-        aq = aq + _conv3x3([(mo_slab, kmq), (xu_slab, kuq)], n, 2 + r0, wc)
+    # i*R - 1 + j while the x slabs hold i*R - 2 + j (two row origins).
+    for r0 in range(0, R, 8):
+        n = min(8, R - r0)
+        aq = _conv3x3([(rh_slab, khq)], n, 1 + r0, wc, chunk=8)
+        aq = aq + _conv3x3(
+            [(xs, kw) for xs, kw in zip(x_slabs, kx_q)], n, 2 + r0, wc, chunk=8
+        )
         aq = aq + bq[0] + czrq_slab[
             1 + r0 : 1 + r0 + n, 8 : 8 + wc, 2 * ch :
         ].astype(jnp.float32)
@@ -618,40 +738,46 @@ def _gru_kernel(htot, w2, *refs):
         out_ref[0, r0 : r0 + n] = out.astype(dt)[:, 8 : 8 + w2, :]
 
 
-def fused_step_gru(h, motion, xup, czrq, w: GruWeights, interpret=False):
-    """Kernel F2: the level-0 ConvGRU update (reference update.py:46-62).
+def fused_step_gru(h, xs, czrq, w: GruWeights, interpret=False):
+    """Kernel F2: a ConvGRU update (reference update.py:46-62) at any of
+    the cascade's scales.
 
-    h/motion/xup: (B,H4,W4,128); czrq: (B,H4,W4,384) — the level-0 context
+    h: (B,Hl,Wl,128) hidden state; xs: list of 1 or 2 (B,Hl,Wl,128) input
+    streams (level 0: [motion, interp(net1)]; level 1: [pool2x(net0),
+    interp(net2)]; level 2: [pool2x(net1)]); czrq: (B,Hl,Wl,384) context
     injections pre-concatenated [cz|cr|cq].  Returns the new hidden state.
     """
     bsz, htot, w2, ch = h.shape
+    nx = len(xs)
     dt = h.dtype
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     wp = w2 + 32
+    kx_zr = [w.km_zr, w.ku_zr][:nx]
+    kx_q = [w.km_q, w.ku_q][:nx]
     return pl.pallas_call(
-        functools.partial(_gru_kernel, htot, w2),
+        functools.partial(_gru_kernel, htot, w2, nx),
         out_shape=jax.ShapeDtypeStruct(h.shape, dt),
         grid=(bsz, htot // R),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4 + [wspec] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * (2 + nx)
+        + [wspec] * (2 * (nx + 1) + 2),
         out_specs=pl.BlockSpec((1, R, w2, ch), lambda b, i: (b, i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((R + 4, wp, ch), dt),        # h
-            pltpu.VMEM((R + 4, wp, ch), dt),        # motion
-            pltpu.VMEM((R + 4, wp, ch), dt),        # xup
+            *[pltpu.VMEM((R + 4, wp, ch), dt) for _ in range(nx)],
             pltpu.VMEM((R + 2, wp, 3 * ch), dt),    # czrq
             pltpu.VMEM((R + 2, wp, ch), dt),        # z
             pltpu.VMEM((R + 2, wp, ch), dt),        # rh
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2 + nx,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * htot * w2 * 9 * (3 * ch * 2 * ch + 3 * ch * ch),
-            bytes_accessed=2 * (h.size * 2 + motion.size + xup.size + czrq.size),
+            flops=2 * bsz * htot * w2 * 9 * ((1 + nx) * ch * 3 * ch),
+            bytes_accessed=2 * (h.size * 2 + nx * h.size + czrq.size),
             transcendentals=3 * bsz * htot * w2 * ch,
         ),
         interpret=interpret,
     )(
-        h, motion, xup, czrq,
-        w.kh_zr, w.km_zr, w.ku_zr, w.b_zr, w.kh_q, w.km_q, w.ku_q, w.b_q,
+        h, *xs, czrq,
+        w.kh_zr, *kx_zr, w.b_zr, w.kh_q, *kx_q, w.b_q,
     )
 
 

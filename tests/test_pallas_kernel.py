@@ -335,6 +335,6 @@ def test_fused_step_gru_matches_ref(rng):
     kr, br_ = arr(3, 3, 384, 128, scale=0.05), arr(128, scale=0.1)
     kq, bq = arr(3, 3, 384, 128, scale=0.05), arr(128, scale=0.1)
     gw = sf.pack_gru_weights(kz, bz, kr, br_, kq, bq, jnp.float32)
-    hn = sf.fused_step_gru(h, mo, xup, czrq, gw, interpret=True)
+    hn = sf.fused_step_gru(h, [mo, xup], czrq, gw, interpret=True)
     hn_r = sf.step_gru_ref(h, mo, xup, czrq, kz, bz, kr, br_, kq, bq)
     np.testing.assert_allclose(np.asarray(hn), np.asarray(hn_r), rtol=1e-4, atol=1e-5)

@@ -65,6 +65,6 @@ kz, bz = arr(3, 3, 3 * ch, ch, scale=0.05), arr(ch, scale=0.1)
 kr, br_ = arr(3, 3, 3 * ch, ch, scale=0.05), arr(ch, scale=0.1)
 kq, bq = arr(3, 3, 3 * ch, ch, scale=0.05), arr(ch, scale=0.1)
 gw = sf.pack_gru_weights(kz, bz, kr, br_, kq, bq, dt)
-hn = sf.fused_step_gru(h, mo_r, xup, czrq, gw, interpret=interpret)
+hn = sf.fused_step_gru(h, [mo_r, xup], czrq, gw, interpret=interpret)
 hn_r = sf.step_gru_ref(h, mo_r, xup, czrq, kz, bz, kr, br_, kq, bq)
 print("gru err:", float(jnp.max(jnp.abs(hn - hn_r))), "scale", float(jnp.max(jnp.abs(hn_r))))
