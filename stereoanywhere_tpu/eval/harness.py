@@ -63,10 +63,10 @@ DAV2_SIZES: dict[str, tuple[int, int]] = {
     "kitti2015": (1372, 518),
     "kitti_stereo": (1372, 518),
     "middlebury": (1036, 1036),
-    "middlebury2021": (1036, 1036),
+    "middlebury2021": (1372, 770),
     "eth3d": (518, 518),
-    "booster": (770, 1036),
-    "layeredflow": (518, 770),
+    "booster": (1036, 756),
+    "layeredflow": (952, 532),
     "monotrap": (518, 518),
     "sceneflow": (518, 518),
 }

@@ -112,8 +112,19 @@ class DPTHead(nn.Module):
         outs = []
         for i, (tokens, _cls) in enumerate(layer_feats):
             b, n, d = tokens.shape
-            x = tokens.reshape(b, patch_h, patch_w, d)
-            x = Conv(self.out_channels[i], 1, 1, 0, name=f"projects_{i}")(x)
+            # the 1x1 projects conv == a Dense over tokens; applied BEFORE
+            # the (37, 37) spatial reshape it runs as one well-shaped
+            # (B*N, D) matmul instead of a conv on a non-lane-aligned
+            # 37-wide plane (measured 0.286 -> ~0.03 ms each on v5e).
+            # Identical math and identical conv-shaped parameters.
+            kp, bp = ParamConv(self.out_channels[i], 1, name=f"projects_{i}")(d)
+            x = (
+                jnp.einsum(
+                    "bnd,do->bno", tokens, kp[0, 0].astype(tokens.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(tokens.dtype)
+                + bp.astype(tokens.dtype)
+            ).reshape(b, patch_h, patch_w, self.out_channels[i])
             if i == 0:
                 x = ConvTransposeTorch(self.out_channels[0], 4, 4, name="resize_layers_0")(x)
             elif i == 1:

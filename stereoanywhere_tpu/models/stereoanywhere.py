@@ -573,6 +573,10 @@ class StereoAnywhere(nn.Module):
             )
             scan_f = None
             if iters > 1:
+                # interpret mode: interpreted Pallas calls inside a rolled
+                # nn.scan trip a JAX lowering-cache bug (closed_call
+                # KeyError); full unroll lowers each body inline (CPU tests
+                # only — tiny shapes)
                 scan_f = nn.scan(
                     FusedRefinementStep,
                     variable_broadcast="params",
@@ -580,6 +584,7 @@ class StereoAnywhere(nn.Module):
                     in_axes=nn.broadcast,
                     out_axes=0,
                     length=iters - 1,
+                    unroll=iters - 1 if cfg.fused_level0 == "interpret" else 1,
                 )(**fkw, name="update_block")
             pre = RefinementStep(
                 **step_kw, emit_outputs=False, compute_mask=False,
@@ -597,7 +602,9 @@ class StereoAnywhere(nn.Module):
                 consts_f = (
                     stereo_pyr.levels, mono_pyr.levels, czrq, coords0[..., 0],
                 )
-                (net_c, cn_sq), _ = scan_f((net_c, coords1[..., 0]), consts_f)
+                carry_f = (net_c, coords1[..., 0])
+                carry_f, _ = scan_f(carry_f, consts_f)
+                net_c, cn_sq = carry_f
                 coords1 = cn_sq[..., None]
             tail = RefinementStep(
                 **step_kw, emit_outputs=False, compute_mask=True, tail_only=True

@@ -397,7 +397,13 @@ def _lookup_kernel(radius, htot, w2, wl, nb, coords_ref, la_ref, lb_ref, corr_re
     pos = coords_ref[0]
     del li
     if nb > 1:
-        c = jnp.clip(jnp.floor((pos - rr) * (1.0 / block)), 0, nb - 1)
+        # max/min instead of jnp.clip: clip is a custom_jvp whose nested
+        # closed_call trips a JAX lowering-cache bug under interpreted
+        # pallas in a scan (KeyError in cached_primitive_lowerings)
+        c = jnp.minimum(
+            jnp.maximum(jnp.floor((pos - rr) * (1.0 / block)), 0.0),
+            float(nb - 1),
+        )
         lap = jnp.pad(la, ((0, 0), (0, 0), (0, sl - block)))
         lbp = jnp.pad(lb, ((0, 0), (0, 0), (0, sl - block)))
         slab_a = jnp.zeros((R, w2, sl), dt)

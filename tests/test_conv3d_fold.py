@@ -2,6 +2,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles (fast tier: -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 

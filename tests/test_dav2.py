@@ -86,6 +86,7 @@ def test_dav2_golden_forward(torch_dav2, rng):
     )
 
 
+@pytest.mark.slow
 def test_dav2_pos_embed_interpolation(torch_dav2, rng):
     """Non-square input exercises the bicubic pos-embed resize path."""
     state = {k: v.detach().float().numpy() for k, v in torch_dav2.state_dict().items()}

@@ -21,6 +21,7 @@ def _png(path, arr):
     Image.fromarray(arr).save(path)
 
 
+@pytest.mark.slow
 def test_evaluator_end_to_end(tmp_path, rng):
     # synthetic scene: 40x64, known gt
     root = str(tmp_path / "data")
@@ -168,3 +169,20 @@ def test_evaluator_bucketing_compile_count_and_exact_fit(rng):
     for k in m_b:
         a, c = m_b[k], m_n[k]
         assert (np.isnan(a) and np.isnan(c)) or a == c, (k, a, c)
+
+
+def test_dav2_sizes_match_reference_protocol():
+    """DAV2_SIZES must transcribe reference test.py:192-195 exactly — a
+    wrong per-dataset DAv2 inference size silently shifts the mono branch
+    and with it every accuracy table (caught three wrong entries in r5:
+    middlebury2021 / booster / layeredflow)."""
+    from stereoanywhere_tpu.eval.harness import DAV2_SIZES
+
+    width = {"kitti2012": 1372, "kitti2015": 1372, "eth3d": 518,
+             "middlebury": 518 * 2, "middlebury2021": 1372,
+             "booster": 518 * 2, "layeredflow": 952}
+    height = {"kitti2012": 518, "kitti2015": 518, "eth3d": 518,
+              "middlebury": 518 * 2, "middlebury2021": 770,
+              "booster": 756, "layeredflow": 532}
+    for ds in width:
+        assert DAV2_SIZES[ds] == (width[ds], height[ds]), ds

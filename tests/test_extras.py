@@ -145,6 +145,7 @@ def test_otsu_bimodal():
     assert sep > 0.97, (th, sep)
 
 
+@pytest.mark.slow
 def test_multi_update_scaler_block_shapes(rng):
     """MultiUpdateScalerBlock (reference BasicMultiUpdateScalerBlock,
     update.py:199-240): full assembly returns scale/shift/confidence deltas

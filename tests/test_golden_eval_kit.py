@@ -15,6 +15,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-model compiles (fast tier: -m 'not slow')
 import torch
 
 from stereoanywhere_tpu.data.frame_utils import write_pfm

@@ -11,6 +11,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles (fast tier: -m 'not slow')
+
 import jax
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

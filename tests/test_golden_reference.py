@@ -61,6 +61,7 @@ def test_converter_covers_all_params(torch_model, converted):
     assert n_torch == n_jax, f"param count mismatch: torch {n_torch} vs jax {n_jax}"
 
 
+@pytest.mark.slow
 def test_converted_tree_matches_init(converted):
     model = StereoAnywhere(StereoAnywhereConfig())
     rng = np.random.default_rng(0)

@@ -18,6 +18,7 @@ def _img(rng, h=64, w=96, c=3):
     return jnp.asarray(rng.uniform(0, 1, (1, h, w, c)).astype(np.float32))
 
 
+@pytest.mark.slow
 def test_feature_mnv2_pyramid_shapes(rng):
     """[x4,x8,x16,x32] channels [48,64,192,160] (reference submodule.py:176-196)."""
     x = _img(rng)

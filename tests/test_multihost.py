@@ -11,6 +11,9 @@ config; everything else in the suite runs the 8-device mesh inside ONE
 process, which cannot catch bugs in the host-local <-> global array
 bridging or cooperative checkpoint I/O.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compiles (fast tier: -m 'not slow')
 import os
 import socket
 import subprocess

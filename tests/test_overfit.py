@@ -5,6 +5,8 @@ the end-point error."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles (fast tier: -m 'not slow')
+
 import jax
 import jax.numpy as jnp
 

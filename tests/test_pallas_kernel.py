@@ -1,6 +1,7 @@
 """Pallas fused dual-lookup kernel vs the reference-semantics XLA lookup
 (interpret mode on CPU)."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def test_dual_lookup_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got_m), ref_m, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_windowed_gather_matches_xla(rng):
     """corr_gather.py windowed dynamic-gather kernel, incl. chunked wide
     levels (Wl > 128) and tiny levels (Wl < 2r+2)."""

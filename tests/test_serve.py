@@ -71,6 +71,7 @@ def test_http_server_roundtrip(rng):
     np.testing.assert_allclose(disp, im2.mean(-1) * 16.0, atol=1 / 128)
 
 
+@pytest.mark.slow
 def test_vol_downsample_config(rng):
     """vol_downsample>0 trilinear path compiles and produces sane output."""
     from stereoanywhere_tpu.config import StereoAnywhereConfig
@@ -88,6 +89,7 @@ def test_vol_downsample_config(rng):
     assert d.shape == (1, 64, 64, 1) and np.isfinite(d).all()
 
 
+@pytest.mark.slow
 def test_cli_infer_file_pair(tmp_path, rng):
     """`cli infer left right -o out` writes a finite disparity .npy and a
     colormap PNG (reference demo/fast_demo.py CLI surface)."""

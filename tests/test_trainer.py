@@ -35,6 +35,7 @@ def trainer(tmp_path_factory):
     )
 
 
+@pytest.mark.slow
 def test_train_step_and_freeze(trainer, rng):
     fnet_before = jax.tree.map(lambda x: np.asarray(x), trainer.state.params["fnet"])
     cnet_kernel_before = np.asarray(
@@ -59,6 +60,7 @@ def test_train_step_and_freeze(trainer, rng):
     assert np.abs(np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"]) - cnet_kernel_before).max() > 0
 
 
+@pytest.mark.slow
 def test_gt_as_mono_branch(trainer, rng):
     """gt-as-mono robustness branch (reference train.py:253-260): fires only
     when the host coin lands AND right gt exists; logged for observability."""
@@ -89,6 +91,7 @@ def test_gt_as_mono_branch(trainer, rng):
     assert logs["mono_source/gt"] == 0.0
 
 
+@pytest.mark.slow
 def test_validate_best_checkpoint(trainer, rng, tmp_path):
     """Periodic validation: metrics dict + best-checkpoint selection
     (reference train.py:583-639)."""
@@ -133,6 +136,7 @@ def test_validate_best_checkpoint(trainer, rng, tmp_path):
     assert not traces, "validate retraced its eval forward"
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(trainer, rng):
     step_before = int(trainer.state.step)
     ref_kernel = np.asarray(trainer.state.params["cnet"]["conv1"]["kernel"])
@@ -159,6 +163,7 @@ def test_freeze_mask_groups():
     assert m["update_block"]["x"] is True
 
 
+@pytest.mark.slow
 def test_debug_grad_census(tmp_path, rng):
     """debug_grad=True produces a per-param NaN/Inf census; with finite
     gradients no census files appear; a poisoned batch yields nan_params.json
