@@ -90,7 +90,19 @@ def cmd_eval(args):
         oscale=preset["oscale"] if args.oscale is None else args.oscale,
     )
     cfg = StereoAnywhereConfig(compute_dtype=args.dtype)
-    model, variables = _load_stereo(args.checkpoint, cfg)
+    ckpt = args.checkpoint
+    if ckpt is None:
+        # auto-detect a dropped-in released checkpoint: the day egress
+        # exists, `sceneflow.tar` in the working directory (or
+        # $SA_CHECKPOINT) runs the published-weights eval with zero extra
+        # wiring and the Table-2 comparison prints below
+        import os as _os
+
+        cand = _os.environ.get("SA_CHECKPOINT", "sceneflow.tar")
+        if _os.path.exists(cand):
+            print(f"auto-detected checkpoint: {cand}")
+            ckpt = cand
+    model, variables = _load_stereo(ckpt, cfg)
     mono_model, mono_vars = _load_mono(args.mono_checkpoint, args.mono_encoder)
 
     @tpu_jit
@@ -152,7 +164,37 @@ def cmd_eval(args):
     print(f"({len(res.per_sample)} samples in {dt:.1f}s)")
     if args.csv:
         res.to_csv(args.csv, {"dataset": ec.dataset, "iters": ec.iters, "tries": args.tries})
+    _print_published_comparison(ec.dataset, means, bool(ckpt))
     return means
+
+
+# Published zero-shot tables for the released SceneFlow checkpoint
+# (reference sterereere.md:406-420 Table 2, :475-494 Table 3, :530-541
+# Table 4) — printed next to a real-weights eval for a direct comparison.
+PUBLISHED = {
+    "middlebury": {"bad 2.0": 0.0696, "avgerr": 0.94},
+    "middlebury2021": {"bad 2.0": 0.0797, "avgerr": 1.08},
+    "eth3d": {"bad 1.0": 0.0166, "avgerr": 0.24},
+    "kitti2012": {"bad 3.0": 0.0390, "avgerr": 0.83},
+    "kitti2015": {"bad 3.0": 0.0393, "avgerr": 0.97},
+    "booster": {"bad 2.0": 0.0901, "bad 4.0": 0.0540, "bad 6.0": 0.0412,
+                "bad 8.0": 0.0334, "avgerr": 1.21},
+    "layeredflow": {"bad 1.0": 0.8183, "bad 3.0": 0.5766, "bad 5.0": 0.4512,
+                    "avgerr": 11.20},
+    "monotrap": {"depth/absrel": 0.0350, "depth/rmse": 0.06},
+}
+
+
+def _print_published_comparison(dataset: str, means: dict, have_ckpt: bool):
+    pub = PUBLISHED.get(dataset)
+    if not pub:
+        return
+    tag = "" if have_ckpt else "  [random init — comparison meaningless]"
+    print(f"published ({dataset}, SceneFlow ckpt, paper Tables 2-4):{tag}")
+    for k, v in pub.items():
+        got = means.get(k)
+        got_s = f"{got:.4f}" if got is not None else "-"
+        print(f"  {k:14s} paper {v:.4f}   ours {got_s}")
 
 
 def cmd_train(args):

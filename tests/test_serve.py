@@ -1,4 +1,5 @@
 """End-to-end HTTP serving round trip: server thread + client."""
+import os
 import threading
 import time
 
@@ -109,3 +110,62 @@ def test_cli_infer_file_pair(tmp_path, rng):
     d = np.load(out / "left_disp.npy")
     assert d.shape == (32, 64) and np.isfinite(d).all()
     assert (out / "left_disp.png").exists()
+
+
+@pytest.mark.slow
+def test_cli_eval_autodetects_dropped_tar(tmp_path, monkeypatch, capsys):
+    """cli eval with no --checkpoint picks up $SA_CHECKPOINT/sceneflow.tar
+    (the released-weights drop-in path) and prints the published-table
+    comparison (insurance for the day egress exists)."""
+    import torch
+
+    from tests.reference_loader import load_reference_stereo_module
+
+    load_reference_stereo_module()
+    from models.stereoanywhere.stereoanywhere import StereoAnywhere as TorchSA
+
+    torch.manual_seed(0)
+    sa = TorchSA({})
+    ckpt = str(tmp_path / "sceneflow.tar")
+    torch.save(
+        {"state_dict": {f"module.{k}": v for k, v in sa.state_dict().items()}},
+        ckpt,
+    )
+
+    from PIL import Image
+
+    from stereoanywhere_tpu.data.frame_utils import write_pfm
+
+    root = str(tmp_path / "eth3d")
+    scene = f"{root}/sceneA"
+    os.makedirs(scene, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for n in ("im0.png", "im1.png"):
+        Image.fromarray(rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)).save(
+            f"{scene}/{n}"
+        )
+    write_pfm(f"{scene}/disp0GT.pfm", rng.uniform(1, 12, (64, 96)).astype(np.float32))
+    Image.fromarray(np.full((64, 96), 255, np.uint8)).save(f"{scene}/mask0nocc.png")
+
+    from tests.test_protocol_golden import _load_reference_dav2_module
+
+    dpt = _load_reference_dav2_module()
+    torch.manual_seed(1)
+    dav2 = dpt.DepthAnythingV2(
+        encoder="vits", features=64, out_channels=[48, 96, 192, 384]
+    )
+    mono_ckpt = str(tmp_path / "depth_anything_v2_vits.pth")
+    torch.save(dav2.state_dict(), mono_ckpt)
+
+    from stereoanywhere_tpu import cli
+
+    monkeypatch.setenv("SA_CHECKPOINT", ckpt)
+    rc = cli.main([
+        "eval", "--dataset", "eth3d", "--datapath", root, "--iters", "1",
+        "--max-samples", "1", "--mono-checkpoint", mono_ckpt,
+        "--mono-encoder", "vits",
+    ])
+    outp = capsys.readouterr().out
+    assert "auto-detected checkpoint" in outp
+    assert "published (eth3d" in outp
+    assert rc in (0, None) or isinstance(rc, dict)
